@@ -1,0 +1,85 @@
+"""Configuration system.
+
+The reference configures everything through a Python class of UPPERCASE
+constants edited in-source (train_test_GSC.py:18-79; variant selection is
+literally "edit the source", README.md:46-58).  Here configuration is a frozen
+dataclass with named presets selectable from code or CLI, so every mode the
+reference supports (`train`, `ucb`, `sfw`, `sfw_video`, `in_the_wild`) is one
+function call.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Hyper-parameters and paths.
+
+    Field defaults mirror the reference `Config` (train_test_GSC.py:18-53)
+    where a counterpart exists; TPU-specific fields are new.
+    """
+
+    # --- data -----------------------------------------------------------
+    data_dirs: Sequence[str] = ()
+    data_dirs_val: Sequence[str] = ()
+    data_dirs_test: Sequence[str] = ("sample_imgs/*",)
+    shadow_mask_dir: str = ""          # library of external shadow PNGs (ShadowMaker)
+    part_mask_root: str = ""           # UCB_input_images_* directories for UCB eval
+
+    # --- geometry -------------------------------------------------------
+    img_size: int = 256                # IMG_SIZE (train_test_GSC.py:31)
+    map_size: int = 32                 # MAP_SIZE — bottleneck feature resolution
+    fig_size: int = 128                # FIG_SIZE — logging figure resolution
+
+    # --- schedule -------------------------------------------------------
+    steps_per_epoch: int = 2000        # train_test_GSC.py:35
+    max_epoch: int = 300               # train_test_GSC.py:38
+    batch_size: int = 1                # per-view batch; each sample carries 2 mirrored views
+    learning_rate: float = 1e-4        # train_test_GSC.py:47
+    img_log_freq: int = 100            # IMG_LOG_FR
+    txt_log_freq: int = 1000           # TXT_LOG_FR
+
+    # --- model ----------------------------------------------------------
+    n_layer_d: int = 4                 # discriminator depth (train_test_GSC.py:53)
+    n_res: int = 6                     # ResBottleneck count in the generator
+    variant: str = "gsc"               # 'gsc' | 'tsm' | 'rgb'
+
+    # --- tpu ------------------------------------------------------------
+    mesh_shape: Sequence[int] = (1, 1)     # (data, frame) mesh axes
+    mesh_axis_names: Sequence[str] = ("data", "frame")
+    compute_dtype: str = "bfloat16"        # activations/matmul dtype on TPU
+    param_dtype: str = "float32"
+    checkpoint_dir: str = "./checkpoints"
+    mode: str = "in_the_wild"
+
+    @property
+    def num_views(self) -> int:
+        """Views packed per sample (2 mirrored train views; 10 refs at test)."""
+        return 2 if self.mode == "train" else 10
+
+
+_PRESETS = {
+    # In-the-wild single-image inference (reference: testFFHQ, README.md:31-35).
+    "in_the_wild": dict(mode="in_the_wild"),
+    # UCB quantitative eval with part-mask post-processing
+    # (reference: test(), train_test_GSC.py:360-748).
+    "ucb": dict(mode="ucb", part_mask_root="."),
+    # SFW shadow-segmentation eval (reference: testsfw, train_test_GSC.py:750-838).
+    "sfw": dict(mode="sfw", variant="tsm"),
+    # SFW per-frame video removal (reference: testsfw_video).
+    "sfw_video": dict(mode="sfw_video", variant="tsm"),
+    # GAN training (reference: train(), train_test_GSC.py:166-197).
+    "train": dict(mode="train"),
+}
+
+
+def get_config(preset: str = "in_the_wild", **overrides) -> Config:
+    """Build a config from a named preset plus keyword overrides."""
+    if preset not in _PRESETS:
+        raise ValueError(f"unknown preset {preset!r}; choose from {sorted(_PRESETS)}")
+    kwargs = dict(_PRESETS[preset])
+    kwargs.update(overrides)
+    return Config(**kwargs)

@@ -1,0 +1,158 @@
+"""Host-side face crop/align (image I/O-adjacent preprocessing).
+
+Re-implements the geometric contract of `face_crop_and_resize`
+(utils.py:356-433) and the offline crop scripts (dataprocess.py:39-78).
+These run on the host as part of data loading (decode -> crop -> resize);
+everything after (map generation, augmentation, model) is on-device.
+
+Box convention (utils.py:387-400): a square window of side 2L centered on the
+landmark extent, shifted up by 0.2L, where L = 1.4 x half the larger landmark
+extent.  Landmarks are returned normalized by the box side (2L).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from blindshadowremoval_tpu.geometry.landmarks import mirror_landmarks
+
+
+def _resize_bilinear_np(img: np.ndarray, size: int) -> np.ndarray:
+    try:
+        import cv2
+
+        return cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
+    except Exception:  # pragma: no cover - cv2 is available in this image
+        import jax
+
+        return np.asarray(
+            jax.image.resize(img, (size, size) + img.shape[2:], "linear")
+        )
+
+
+def rotate_image_and_landmarks(img: np.ndarray, lm: np.ndarray, deg: float):
+    """Rotate image CCW by `deg` about its center, with matching landmarks.
+
+    Matches utils.py:370-382 (scipy.ndimage.rotate with reshape=False).
+    """
+    from scipy import ndimage
+
+    rows, cols = img.shape[:2]
+    s, c = np.sin(np.deg2rad(deg)), np.cos(np.deg2rad(deg))
+    x = lm[:, 0] - cols / 2
+    y = lm[:, 1] - rows / 2
+    out = np.array(lm, copy=True, dtype=np.float64)
+    out[:, 0] = y * s + x * c + cols / 2
+    out[:, 1] = y * c - x * s + rows / 2
+    img = ndimage.rotate(img, deg, reshape=False)
+    return img, out
+
+
+def face_crop_and_resize(
+    img: np.ndarray,
+    lm: np.ndarray,
+    fsize: int,
+    aug: bool = False,
+    rng: np.random.Generator | None = None,
+):
+    """Crop the face box, resize to `fsize`, normalize landmarks.
+
+    Returns (img, lm_norm, lm_mirror_norm, box) exactly like the reference
+    (utils.py:356-433): `box` is the crop window in *original* image
+    coordinates (pre-padding), landmarks are divided by the box side.
+    """
+    img = np.asarray(img)
+    lm = np.array(lm, dtype=np.float64, copy=True)
+    rows, cols = img.shape[:2]
+
+    if aug:
+        if rng is None:
+            rng = np.random.default_rng()
+        if rng.uniform() > 0.5:
+            deg = rng.uniform(-10, 10)
+            img, lm = rotate_image_and_landmarks(img, lm, deg)
+
+    lm_mirror = mirror_landmarks(lm, cols)
+
+    cx = (lm[:, 0].min() + lm[:, 0].max()) / 2
+    cy = (lm[:, 1].min() + lm[:, 1].max()) / 2
+    length = max((lm[:, 0].max() - lm[:, 0].min()) / 2,
+                 (lm[:, 1].max() - lm[:, 1].min()) / 2) * 1.4
+    if aug:
+        cx += rng.uniform(-0.1, 0.1) * length
+        cy += rng.uniform(-0.1, 0.1) * length
+        length *= rng.uniform(0.9, 1.1)
+
+    box = [int(cx) - int(length), int(cy) - int(length * 1.2),
+           int(cx) + int(length),
+           int(cy) + int(length) + int(length) - int(length * 1.2)]
+    box0 = list(box)
+    box_m = [cols - box[2], box[1], cols - box[0], box[3]]
+
+    lm[:, 0] -= box[0]
+    lm[:, 1] -= box[1]
+    lm_mirror[:, 0] -= box_m[0]
+    lm_mirror[:, 1] -= box_m[1]
+
+    pad_x = max(-box[0], box[2] - cols) if (box[0] < 0 or box[2] > cols) else 0
+    pad_y = max(-box[1], box[3] - rows) if (box[1] < 0 or box[3] > rows) else 0
+    if pad_x > 0 or pad_y > 0:
+        big = np.zeros((rows + 2 * pad_y + 2, cols + 2 * pad_x + 2, img.shape[2]),
+                       dtype=img.dtype)
+        big[pad_y:pad_y + rows, pad_x:pad_x + cols, :] = img
+        img = big
+        box = [box[0] + pad_x, box[1] + pad_y, box[2] + pad_x, box[3] + pad_y]
+
+    img = img[box[1]:box[3], box[0]:box[2], :]
+    if img.shape[0] == img.shape[1] and img.shape[0] > 0:
+        img = _resize_bilinear_np(img.astype(np.float32), fsize)
+    else:
+        img = np.zeros((fsize, fsize, img.shape[2]), np.float32)
+
+    # degenerate landmark sets (zero extent) would divide by zero in the
+    # reference (utils.py:433); guard so landmarks stay finite
+    side = max(length * 2, 1e-6)
+    return (img.astype(np.float32), (lm / side).astype(np.float32),
+            (lm_mirror / side).astype(np.float32),
+            np.asarray(box0, np.float32))
+
+
+def offline_crop(img: np.ndarray, lm: np.ndarray, out_size: int = 256,
+                 min_face: int = 250):
+    """Offline dataset-prep crop (dataprocess.py:39-78).
+
+    A 1.45x landmark-extent square, center shifted up by 1.2x, zero-padded if
+    out of bounds; faces smaller than `min_face` px are rejected (returns
+    None).  Returns (cropped_resized_img, rescaled_landmarks).
+    """
+    img = np.asarray(img)
+    lm = np.array(lm, dtype=np.float64, copy=True)
+    rows, cols = img.shape[:2]
+
+    cx = (lm[:, 0].min() + lm[:, 0].max()) / 2
+    cy = (lm[:, 1].min() + lm[:, 1].max()) / 2
+    length = max((lm[:, 0].max() - lm[:, 0].min()) / 2,
+                 (lm[:, 1].max() - lm[:, 1].min()) / 2) * 1.45
+    box = [int(cx) - int(length), int(cy) - int(length * 1.2),
+           int(cx) + int(length),
+           int(cy) + int(length) + int(length) - int(length * 1.2)]
+
+    lm[:, 0] -= box[0]
+    lm[:, 1] -= box[1]
+
+    pad_x = max(-box[0], box[2] - cols) if (box[0] < 0 or box[2] > cols) else 0
+    pad_y = max(-box[1], box[3] - rows) if (box[1] < 0 or box[3] > rows) else 0
+    if pad_x > 0 or pad_y > 0:
+        big = np.zeros((rows + 2 * pad_y + 2, cols + 2 * pad_x + 2, img.shape[2]),
+                       dtype=img.dtype)
+        big[pad_y:pad_y + rows, pad_x:pad_x + cols, :] = img
+        img = big
+        box = [box[0] + pad_x, box[1] + pad_y, box[2] + pad_x, box[3] + pad_y]
+
+    crop = img[box[1]:box[3], box[0]:box[2], :]
+    side = crop.shape[0]
+    if side <= min_face or crop.shape[0] != crop.shape[1]:
+        return None
+    out = _resize_bilinear_np(crop.astype(np.float32), out_size)
+    lm = lm * (out_size / side)
+    return out, lm.astype(np.float32)
