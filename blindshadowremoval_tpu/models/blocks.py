@@ -1,0 +1,176 @@
+"""Flax building blocks for the generator/discriminator family.
+
+Functional re-design of the reference's Keras layers (model.py:6-177):
+Conv/ConvT combos (conv + BatchNorm/SpectralNorm + LeakyReLU + Dropout),
+embedded-Gaussian NonLocal self-attention, and the NonLocal-augmented
+ResBottleneck.  TF-semantics details preserved:
+
+  * LeakyReLU slope 0.3 (Keras default, not 0.2);
+  * BatchNorm momentum 0.99, epsilon 1e-3 (Keras defaults), running stats
+    updated only when `train=True`;
+  * glorot-uniform conv kernels, zero biases (Keras defaults);
+  * channel-pad residuals when in/out widths differ
+    (ResBottleneck, model.py:105-112).
+
+Everything is NHWC; matmul-heavy NonLocal attention runs in the module dtype
+(bfloat16 on TPU by default at inference) with float32 softmax.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+LEAKY_SLOPE = 0.3
+_KERNEL_INIT = nn.initializers.glorot_uniform()
+
+
+class ConvBlock(nn.Module):
+    """Conv + optional BatchNorm/SpectralNorm + optional LeakyReLU + Dropout.
+
+    Mirror of `Conv` (model.py:115-147).  `norm` in {'batch', 'spec', None}.
+    """
+
+    features: int
+    ksize: int = 3
+    stride: int = 1
+    norm: Optional[str] = "batch"
+    act: bool = True
+    dropout: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        conv = nn.Conv(self.features, (self.ksize, self.ksize),
+                       strides=(self.stride, self.stride), padding="SAME",
+                       kernel_init=_KERNEL_INIT, dtype=self.dtype)
+        if self.norm == "spec":
+            x = nn.SpectralNorm(conv)(x, update_stats=train)
+        else:
+            x = conv(x)
+        if self.norm == "batch":
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                             epsilon=1e-3, dtype=self.dtype)(x)
+        if self.act:
+            x = nn.leaky_relu(x, LEAKY_SLOPE)
+        if self.dropout:
+            x = nn.Dropout(0.3, deterministic=not train)(x)
+        return x
+
+
+class ConvTBlock(nn.Module):
+    """Transpose-conv analog of ConvBlock (model.py:149-177)."""
+
+    features: int
+    ksize: int = 3
+    stride: int = 2
+    norm: Optional[str] = "batch"
+    act: bool = True
+    dropout: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        conv = nn.ConvTranspose(self.features, (self.ksize, self.ksize),
+                                strides=(self.stride, self.stride),
+                                padding="SAME", kernel_init=_KERNEL_INIT,
+                                dtype=self.dtype)
+        if self.norm == "spec":
+            x = nn.SpectralNorm(conv)(x, update_stats=train)
+        else:
+            x = conv(x)
+        if self.norm == "batch":
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                             epsilon=1e-3, dtype=self.dtype)(x)
+        if self.act:
+            x = nn.leaky_relu(x, LEAKY_SLOPE)
+        if self.dropout:
+            x = nn.Dropout(0.3, deterministic=not train)(x)
+        return x
+
+
+class NonLocalBlock(nn.Module):
+    """Embedded-Gaussian non-local self-attention (model.py:6-61).
+
+    theta/phi/g are 1x1 convs to ch//2; attention is softmax(theta @ phi^T) @ g
+    over all spatial positions; the output 1x1 conv + BatchNorm is added
+    residually.  At the generator's 32x32 bottleneck this is a pair of
+    1024 x 1024 x 128 matmuls — MXU-friendly; an optional fused Pallas kernel
+    lives in ops/pallas/nonlocal_attn.py and is used on TPU for inference.
+    """
+
+    ch: int
+    out_ch: Optional[int] = None
+    use_norm: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        out_ch = self.out_ch or self.ch
+        b, h, w, _ = x.shape
+        half = self.ch // 2
+
+        def conv1x1(feat, name):
+            return nn.Conv(feat, (1, 1), padding="SAME", name=name,
+                           kernel_init=_KERNEL_INIT, dtype=self.dtype)
+
+        g = conv1x1(half, "g")(x).reshape(b, h * w, half)
+        phi = conv1x1(half, "phi")(x).reshape(b, h * w, half)
+        theta = conv1x1(half, "theta")(x).reshape(b, h * w, half)
+
+        attn = jnp.einsum("bnc,bmc->bnm", theta, phi)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+        y = jnp.einsum("bnm,bmc->bnc", attn, g).reshape(b, h, w, half)
+
+        wy = conv1x1(out_ch, "w")(y)
+        if self.use_norm:
+            wy = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                              epsilon=1e-3, dtype=self.dtype)(wy)
+        return x + wy
+
+
+def _pad_channels_to_match(x: jax.Array, y: jax.Array):
+    """Zero-pad the narrower of x/y on the channel axis (model.py:105-112)."""
+    cx, cy = x.shape[-1], y.shape[-1]
+    if cx < cy:
+        x = jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, cy - cx),))
+    elif cy < cx:
+        y = jnp.pad(y, ((0, 0),) * (y.ndim - 1) + ((0, cx - cy),))
+    return x, y
+
+
+class ResBottleneck(nn.Module):
+    """1x1 -> 3x3 -> 1x1 bottleneck + NonLocal + channel-pad residual
+    (model.py:81-113)."""
+
+    ch: int
+    ksize: int = 3
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        def bn():
+            return nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                                epsilon=1e-3, dtype=self.dtype)
+
+        y = nn.Conv(self.ch // 2, (1, 1), padding="SAME",
+                    kernel_init=_KERNEL_INIT, dtype=self.dtype)(x)
+        y = nn.leaky_relu(bn()(y), LEAKY_SLOPE)
+        y = nn.Conv(self.ch // 2, (self.ksize, self.ksize),
+                    strides=(self.stride, self.stride), padding="SAME",
+                    kernel_init=_KERNEL_INIT, dtype=self.dtype)(y)
+        y = nn.leaky_relu(bn()(y), LEAKY_SLOPE)
+        y = nn.Conv(self.ch, (1, 1), padding="SAME",
+                    kernel_init=_KERNEL_INIT, dtype=self.dtype)(y)
+        y = bn()(y)
+        y = NonLocalBlock(self.ch, self.ch, dtype=self.dtype)(y, train)
+        if self.stride > 1:
+            x = nn.Conv(self.ch, (1, 1),
+                        strides=(self.stride, self.stride), padding="SAME",
+                        kernel_init=_KERNEL_INIT, dtype=self.dtype)(x)
+        x, y = _pad_channels_to_match(x, y)
+        return nn.leaky_relu(x + y, LEAKY_SLOPE)

@@ -1,0 +1,55 @@
+"""RGB-only ablation generator.
+
+Re-design of `model_RGB.py` (the reference's single-branch ablation): same
+encoder, doubled up-conv widths (up1/2/3 at 2x), wider ResBottlenecks
+(2*256+1 channels), and a direct 3-channel output `con` — no grayscale
+branch, no mask, no hole gating.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from blindshadowremoval_tpu.geometry.warp import resize_bilinear
+from blindshadowremoval_tpu.models.blocks import ConvBlock, ConvTBlock, ResBottleneck
+from blindshadowremoval_tpu.models.generator import N_CH
+
+
+class RGBGenerator(nn.Module):
+    """Single-branch direct-RGB deshadowing generator (model_RGB.py)."""
+
+    n_res: int = 6
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs: jax.Array, uv: jax.Array,
+                 reg: jax.Array | None = None, *, train: bool = False):
+        del reg
+        x = inputs.astype(self.dtype)
+
+        x1 = ConvBlock(N_CH[0], ksize=7, dtype=self.dtype, name="conv1")(x, train)
+        x2 = ConvBlock(N_CH[1], stride=2, dtype=self.dtype, name="down1")(x1, train)
+        x3 = ConvBlock(N_CH[2], stride=2, dtype=self.dtype, name="down2")(x2, train)
+        x = ConvBlock(N_CH[3], stride=2, dtype=self.dtype, name="down3")(x3, train)
+        _, h, w, _ = x.shape
+
+        uv_small = resize_bilinear(uv.astype(self.dtype), (h, w))
+        x = jnp.concatenate([x, uv_small], axis=3)
+        for i in range(self.n_res // 2):
+            x = ResBottleneck(N_CH[5] * 2 + 1, dtype=self.dtype,
+                              name=f"res{i}")(x, train)
+
+        y = ConvTBlock(N_CH[3] * 2, dtype=self.dtype, name="up1")(x, train)
+        y = ConvTBlock(N_CH[2] * 2, dtype=self.dtype, name="up2")(
+            jnp.concatenate([y, x3], axis=3), train)
+        y = ConvTBlock(N_CH[1] * 2, dtype=self.dtype, name="up3")(
+            jnp.concatenate([y, x2], axis=3), train)
+        y = ConvBlock(3, ksize=7, norm=None, act=False,
+                      dtype=self.dtype, name="conv2")(y, train)
+        con = ConvBlock(3, ksize=7, norm=None, act=False,
+                        dtype=self.dtype, name="conv3")(y, train)
+        return con.astype(jnp.float32)
