@@ -1,0 +1,209 @@
+"""Shadow synthesis: supervised pair generation from clean faces.
+
+Two halves, mirroring the reference's split:
+
+  * `compose_shadow_image` — the in-graph compositor (`process_mask`,
+    train_test_GSC.py:81-105), fully on-device and key-driven: random mask
+    source (external mask vs face-gated perlin), random softening
+    (subsurface scattering vs plain inversion), random brightness field;
+    composites `img = gt * mask_ss + img_dark * mask_sv * intensity`.
+
+  * `ShadowMaker` / `shadow_synthesis_host` — the host-side external-shadow
+    generator (utils.py:902-1055): an external occluder mask from a PNG
+    library (or a procedural perlin fallback when no library is configured —
+    the reference hardcodes a cluster path at utils.py:942), randomly scaled,
+    rotated, blurred and translated over the face, with motion parameters so
+    video frames get temporally coherent shadows.
+
+Randomness: host side uses numpy Generators, device side jax PRNG keys —
+distributional parity with the reference's RNG soup (SURVEY.md hard part 3).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from blindshadowremoval_tpu.geometry.landmarks import forehead_points
+from blindshadowremoval_tpu.ops.perlin import brightness_mask, render_perlin_mask
+from blindshadowremoval_tpu.ops.ssscatter import apply_ss_shadow_map
+from blindshadowremoval_tpu.ops.tonecurve import face_darken
+
+
+def _compose_one(key: jax.Array, mask: jax.Array, gt: jax.Array,
+                 img_dark: jax.Array, face: jax.Array):
+    """Single-sample compositor; shapes (S,S,{1,3})."""
+    s = gt.shape[0]
+    k1, k2, k3, k4, k5, k6, k7 = jax.random.split(key, 7)
+
+    # 60% keep the external-shadow mask, else a fresh face-gated perlin mask
+    mask = jax.lax.cond(
+        jax.random.uniform(k1) > 0.4,
+        lambda: mask,
+        lambda: face * render_perlin_mask(k2, (s, s)),
+    )
+    # 75% subsurface-scattered lit map, else hard inversion broadcast to RGB
+    mask_ss = jax.lax.cond(
+        jax.random.uniform(k3) > 0.25,
+        lambda: apply_ss_shadow_map(k4, 1.0 - mask),
+        lambda: jnp.concatenate([1.0 - mask] * 3, axis=-1),
+    )
+    mask_sv = 1.0 - mask_ss
+    intensity = jax.lax.cond(
+        jax.random.uniform(k5) > 0.5,
+        lambda: brightness_mask(k6, (s, s), min_val=0.3),
+        lambda: brightness_mask(k7, (s, s), min_val=0.5),
+    )[..., None]
+
+    img = gt * mask_ss + img_dark * mask_sv * intensity
+    img = jnp.clip(img, 0.0, 1.0)
+    mask_edge = jnp.abs(mask_sv - mask)
+    return img, mask_sv, mask_edge
+
+
+def compose_shadow_image(key: jax.Array, mask: jax.Array, gt: jax.Array,
+                         img_dark: jax.Array, face: jax.Array):
+    """Batched compositor: mask/face [B,S,S,1], gt/img_dark [B,S,S,3].
+
+    Returns (img, mask_sv, mask_edge), each [B,S,S,3].
+    """
+    keys = jax.random.split(key, gt.shape[0])
+    return jax.vmap(_compose_one)(keys, mask, gt, img_dark, face)
+
+
+class ShadowMaker:
+    """External-occluder shadow mask generator (utils.py:902-1013).
+
+    Draws a random mask from a PNG library (else procedural perlin), places
+    it relative to a random facial landmark, with per-instance motion
+    (translate/shake/scale), rotation, scale and blur; `compute_mask(t)`
+    renders the mask at time t so video clips get coherent moving shadows.
+    """
+
+    def __init__(self, face: np.ndarray, lm: np.ndarray,
+                 mask_dir: Optional[str] = None,
+                 rng: Optional[np.random.Generator] = None):
+        self.rng = rng if rng is not None else np.random.default_rng()
+        self.face = face
+        self.lm = lm
+        self.motion = self.rng.integers(1, 3)          # 1 trans, 2 shake
+        self.spd_x = self.rng.uniform(0.1, 10.0)
+        self.spd_y = self.rng.uniform(0.1, 10.0)
+        self.scale = self.rng.uniform(1.0, 2.5)
+        self.rot = self.rng.uniform(0.0, 365.0)
+        self.blur = int(self.rng.integers(10, 15))
+        self.mask_dir = mask_dir
+        self._compile_mask()
+
+    # -- internals -----------------------------------------------------
+    def _load_library_mask(self) -> Optional[np.ndarray]:
+        if not self.mask_dir:
+            return None
+        files = sorted(_glob.glob(self.mask_dir.rstrip("/") + "/*.png"))
+        if not files:
+            return None
+        import cv2
+
+        path = files[int(self.rng.integers(0, len(files)))]
+        return cv2.imread(path, 0) / 255.0
+
+    def _procedural_mask(self) -> np.ndarray:
+        """Perlin-thresholded occluder when no mask library is configured."""
+        key = jax.random.PRNGKey(int(self.rng.integers(0, 2 ** 31)))
+        pm = np.asarray(render_perlin_mask(key, (256, 256)))[..., 0]
+        return (pm > 0.5).astype(np.float64)
+
+    def _compile_mask(self):
+        import cv2
+        from scipy import ndimage
+
+        mask = self._load_library_mask()
+        if mask is None:
+            mask = self._procedural_mask()
+        if self.rng.uniform(0.0, 1.0) > 0.75:
+            mask = 1.0 - mask
+
+        lm = self.lm * self.face.shape[0]
+        lmp = forehead_points(lm, 0.6)
+        lm = np.concatenate([lm, lmp], axis=0)
+
+        length = max((lm[:, 0].max() - lm[:, 0].min()) / 2,
+                     (lm[:, 1].max() - lm[:, 1].min()) / 2)
+        start_center_idx = int(self.rng.integers(17, 67))
+        start_center = np.array(lm[start_center_idx, :])
+        if self.rng.uniform(-1.0, 1.0) > 0:
+            # face-covering placement (utils.py:954-963)
+            start_center[0] = (lm[:, 0].max() + lm[:, 0].min()) / 2
+            start_center[1] = (lm[:, 1].max() + lm[:, 1].min()) / 2
+            shape = max(int(length * 2), 10)
+            mask = cv2.resize(mask, (shape, shape))
+            mask = cv2.blur(mask, (self.blur // 2, self.blur // 2))
+        else:
+            # landmark-anchored placement (utils.py:964-975)
+            start_center[0] += length * self.rng.uniform(-0.05, 0.05)
+            start_center[1] += length * self.rng.uniform(-0.05, 0.05)
+            shape = max(int(length * self.scale * 2), 10)
+            mask = cv2.resize(mask, (shape, shape))
+            mask = ndimage.rotate(mask, self.rot, reshape=False)
+            mask = cv2.blur(mask, (self.blur, self.blur))
+        self.mask = mask[..., None]
+        self.mask_shape = shape
+        self.mask_center = start_center
+
+    # -- api -----------------------------------------------------------
+    def compute_mask(self, time: float):
+        """Render the (mask * face, face) pair at time step `time`
+        (utils.py:981-1013)."""
+        face = self.face
+        fh, fw = face.shape[0], face.shape[1]
+        ms = self.mask_shape
+        cx = int(self.mask_center[0] + self.spd_x * time)
+        cy = int(self.mask_center[1] + self.spd_y * time)
+
+        box = [cx - ms // 2, cy - ms // 2,
+               cx + ms - ms // 2, cy + ms - ms // 2]
+        mbox = [0, 0, ms, ms]
+        if box[0] < 0:
+            mbox[0] = -box[0]
+        if box[2] > fw:
+            mbox[2] = ms - (box[2] - fw)
+        if box[1] < 0:
+            mbox[1] = -box[1]
+        if box[3] > fh:
+            mbox[3] = ms - (box[3] - fh)
+        box = [max(box[0], 0), max(box[1], 0), min(box[2], fw), min(box[3], fh)]
+
+        canvas = np.zeros((fh, fw, face.shape[2]))
+        canvas[box[1]:box[3], box[0]:box[2], :] = \
+            self.mask[mbox[1]:mbox[3], mbox[0]:mbox[2], :]
+        return canvas * face, face
+
+
+def shadow_synthesis_host(gt: np.ndarray, lm: np.ndarray, time: float = 0.0,
+                          mask_dir: Optional[str] = None,
+                          rng: Optional[np.random.Generator] = None,
+                          seed: Optional[int] = None):
+    """Full host-side pair synthesis (utils.py:1025-1055).
+
+    Returns (img, img_dark, mask, color_matrix, face): the color-jittered
+    face, its globally darkened twin, the external shadow mask, the 3x3 CTM,
+    and the soft face region.
+    """
+    from blindshadowremoval_tpu.geometry.triangulation import generate_face_region
+
+    rng = rng if rng is not None else np.random.default_rng(seed)
+    width = gt.shape[0]
+    face = generate_face_region(lm, width)
+
+    key = jax.random.PRNGKey(int(rng.integers(0, 2 ** 31)))
+    img, img_dark, ctm = face_darken(key, jnp.asarray(gt, jnp.float32))
+
+    maker = ShadowMaker(face, lm, mask_dir=mask_dir, rng=rng)
+    mask, face = maker.compute_mask(time)
+    return (np.asarray(img), np.asarray(img_dark),
+            mask.astype(np.float32), np.asarray(ctm),
+            face.astype(np.float32))

@@ -1,0 +1,269 @@
+"""GAN training orchestrator (the reference's FSRNet, TPU-native).
+
+Re-design of `FSRNet.__init__/train/train_step` (train_test_GSC.py:117-358):
+
+  * one jitted train step fuses the on-device augmentation (saturation
+    jitter, shadow compositing, mirror-consistency swap), generator +
+    3-discriminator forward, the full loss stack, and both Adam updates —
+    the reference splits augmentation between host numpy and tf.cond graph
+    code;
+  * parallelism: batches are sharded over the mesh "data" axis; XLA inserts
+    the gradient all-reduce (the reference is single-device, batch 1);
+  * randomness: a single PRNG key per step, folded per-sample — deterministic
+    and resumable;
+  * two optax Adam optimizers (lr 1e-4, eps 1e-7 to match Keras), generator
+    and discriminators updated from separate losses within one step, exactly
+    like the reference's dual GradientTape.
+
+Loss assembly (train_test_GSC.py:287-336):
+  g_total = recon * 400 + gan + perceptual * 0.005 + grad * 2
+  d_total = hinge(real, 1) + hinge(fake, -1)  over 3 scales
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import freeze
+
+from blindshadowremoval_tpu.config import Config
+from blindshadowremoval_tpu.data.synthesis import compose_shadow_image
+from blindshadowremoval_tpu.models.discriminator import MultiScaleDiscriminators
+from blindshadowremoval_tpu.models.generator import GSCGenerator
+from blindshadowremoval_tpu.models.generator_rgb import RGBGenerator
+from blindshadowremoval_tpu.models.generator_tsm import TSMGenerator
+from blindshadowremoval_tpu.models.vgg import VGG19Features, preprocess
+from blindshadowremoval_tpu.ops.filters import find_edge
+from blindshadowremoval_tpu.ops.image import adjust_saturation, flip_left_right, rgb_to_grayscale
+from blindshadowremoval_tpu.train.losses import (
+    hinge_loss,
+    l1_loss,
+    multi_scale_gradient_loss,
+    reconstruction_losses,
+    style_content_loss,
+)
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    gen_params: Any
+    gen_stats: Any
+    disc_params: Any
+    disc_stats: Any
+    vgg_params: Any                 # frozen
+    gen_opt_state: Any
+    disc_opt_state: Any
+
+
+def build_generator(config: Config, axis_name: Optional[str] = None):
+    dtype = jnp.dtype(config.compute_dtype)
+    if config.variant == "tsm":
+        return TSMGenerator(n_res=config.n_res, axis_name=axis_name, dtype=dtype)
+    if config.variant == "rgb":
+        return RGBGenerator(n_res=config.n_res, dtype=dtype)
+    return GSCGenerator(n_res=config.n_res, dtype=dtype)
+
+
+@dataclasses.dataclass(eq=False)   # identity hash: instance is a static jit arg
+class Trainer:
+    """Owns model definitions, optimizers, and the jitted step."""
+
+    config: Config
+    vgg_weights: Any = None          # optional pretrained VGG param tree
+
+    def __post_init__(self):
+        cfg = self.config
+        self.gen = build_generator(cfg)
+        self.disc = MultiScaleDiscriminators(
+            num_layers=cfg.n_layer_d, dtype=jnp.dtype(cfg.compute_dtype))
+        self.vgg = VGG19Features()
+        self.gen_tx = optax.adam(cfg.learning_rate, eps=1e-7)
+        self.disc_tx = optax.adam(cfg.learning_rate, eps=1e-7)
+
+    # ------------------------------------------------------------- state
+    def init_state(self, key: jax.Array) -> TrainState:
+        cfg = self.config
+        s = cfg.img_size
+        b2 = cfg.batch_size * 2
+        kg, kd, kv = jax.random.split(key, 3)
+        img = jnp.zeros((b2, s, s, 3), jnp.float32)
+        uv = jnp.zeros((b2, s, s, 3), jnp.float32)
+        reg = jnp.zeros((b2, s, s, 6), jnp.float32)
+
+        if cfg.variant == "tsm":
+            gvars = self.gen.init(kg, img, uv, reg, frame=2)
+        else:
+            gvars = self.gen.init(kg, img, uv, reg)
+        dvars = self.disc.init(kd, jnp.zeros((2 * b2, s, s, 6), jnp.float32))
+        if self.vgg_weights is not None:
+            vparams = freeze(self.vgg_weights)["params"]
+        else:
+            vparams = self.vgg.init(
+                kv, jnp.zeros((1, s, s, 3), jnp.float32))["params"]
+
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            gen_params=gvars["params"],
+            gen_stats=gvars.get("batch_stats", {}),
+            disc_params=dvars["params"],
+            disc_stats=dvars.get("batch_stats", {}),
+            vgg_params=vparams,
+            gen_opt_state=self.gen_tx.init(gvars["params"]),
+            disc_opt_state=self.disc_tx.init(dvars["params"]),
+        )
+
+    # ------------------------------------------------------- augmentation
+    def _saturation_aug(self, key, gt, img_dark):
+        """Per-pair random saturation (train_test_GSC.py:220-238):
+        one gate per pair, independent factors for gt vs dark twin."""
+        b2 = gt.shape[0]
+        groups = b2 // 2
+        gtg = gt.reshape((groups, 2) + gt.shape[1:])
+        dkg = img_dark.reshape((groups, 2) + img_dark.shape[1:])
+        keys = jax.random.split(key, groups)
+
+        def per_group(k, g, d):
+            k1, k2, k3 = jax.random.split(k, 3)
+            rd = jax.random.uniform(k1)
+            fg = jax.random.uniform(k2, (), minval=0.5, maxval=2.0)
+            fd = jax.random.uniform(k3, (), minval=0.5, maxval=2.0)
+            g = jnp.where(rd > 0.5, g, adjust_saturation(g, fg))
+            d = jnp.where(rd > 0.5, d, adjust_saturation(d, fd))
+            return g, d
+
+        gtg, dkg = jax.vmap(per_group)(keys, gtg, dkg)
+        return gtg.reshape(gt.shape), dkg.reshape(img_dark.shape)
+
+    def _mirror_consistency(self, key, img):
+        """65%: replace each pair with (view0, flip(view0))
+        (train_test_GSC.py:240-250)."""
+        left = img[0::2]
+        right = flip_left_right(left)
+        img0 = jnp.stack([left, right], axis=1).reshape(img.shape)
+        return jnp.where(jax.random.uniform(key) > 0.35, img0, img)
+
+    # -------------------------------------------------------------- step
+    @functools.partial(jax.jit, static_argnames=("self", "train"))
+    def train_step(self, state: TrainState, batch: dict, key: jax.Array,
+                   train: bool = True):
+        """One fused G+D step.  `batch` keys: img_dark, gt [B2,S,S,3],
+        mask, face [B2,S,S,1], uv [B2,S,S,3], reg [B2,S,S,6]."""
+        cfg = self.config
+        k_sat, k_comp, k_mirror = jax.random.split(key, 3)
+
+        gt = batch["gt"]
+        img_dark = batch["img_dark"]
+        if train:
+            gt, img_dark = self._saturation_aug(k_sat, gt, img_dark)
+
+        img, mask_sv, _ = compose_shadow_image(
+            k_comp, batch["mask"], gt, img_dark, batch["face"])
+        if train:
+            img = self._mirror_consistency(k_mirror, img)
+        else:
+            img = gt                           # val pass (train_test_GSC.py:252)
+
+        uv, reg = batch["uv"], batch["reg"]
+        mask_bi = (mask_sv > 0.01).astype(jnp.float32)
+        mask_edge = find_edge(mask_sv)
+        gray_gt = rgb_to_grayscale(gt)
+
+        mutable = ["batch_stats"] if train else False
+
+        # ---------------- generator loss ------------------------------
+        def g_loss_fn(gen_params):
+            gvars = {"params": gen_params, "batch_stats": state.gen_stats}
+            if cfg.variant == "tsm":
+                out = self.gen.apply(gvars, img, uv, reg, frame=2,
+                                     train=train, mutable=mutable)
+            else:
+                out = self.gen.apply(gvars, img, uv, reg,
+                                     train=train, mutable=mutable)
+            (gs, rgb, mask22, dif), new_gen_stats = (
+                out if train else (out, {"batch_stats": state.gen_stats}))
+
+            d_img = jnp.concatenate([gt, rgb], axis=0)
+            d_mask = jnp.concatenate([mask_sv, mask_sv], axis=0)
+            d_in = jnp.concatenate([d_img, d_mask], axis=3)
+            d_outs, _ = self.disc.apply(
+                {"params": state.disc_params, "batch_stats": state.disc_stats},
+                d_in, train=train, mutable=["batch_stats"])
+
+            recon_gs, recon_c = reconstruction_losses(
+                gs, rgb, gt, gray_gt, mask_bi, mask_edge)
+            recon = (recon_gs + recon_c) / 2.0
+            gan = -sum(jnp.mean(fake) for _, fake in d_outs)
+            feats = self.vgg.apply({"params": state.vgg_params},
+                                   preprocess(d_img))
+            per = style_content_loss(feats)
+            grad_l = multi_scale_gradient_loss(rgb, gt, mask_bi, mask_edge)
+            total = recon * 400.0 + gan + per * 0.005 + grad_l * 2.0
+
+            aux = {
+                "rgb": rgb, "gs": gs, "mask22": mask22, "dif": dif,
+                "new_gen_stats": new_gen_stats["batch_stats"],
+                "losses": {
+                    "recon_gs": recon_gs, "recon_c": recon_c,
+                    "grad": grad_l, "gen": gan, "per": per,
+                    "mask": l1_loss(mask22, mask_bi),
+                },
+            }
+            return total, aux
+
+        if train:
+            (g_total, g_aux), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True)(state.gen_params)
+        else:
+            g_total, g_aux = g_loss_fn(state.gen_params)
+            g_grads = None
+
+        fake = jax.lax.stop_gradient(g_aux["rgb"])
+
+        # ---------------- discriminator loss --------------------------
+        def d_loss_fn(disc_params):
+            d_img = jnp.concatenate([gt, fake], axis=0)
+            d_mask = jnp.concatenate([mask_sv, mask_sv], axis=0)
+            d_in = jnp.concatenate([d_img, d_mask], axis=3)
+            out = self.disc.apply(
+                {"params": disc_params, "batch_stats": state.disc_stats},
+                d_in, train=train, mutable=mutable)
+            d_outs, new_disc_stats = (
+                out if train else (out, {"batch_stats": state.disc_stats}))
+            d_loss_r = sum(hinge_loss(r, 1.0) for r, _ in d_outs)
+            d_loss_s = sum(hinge_loss(f, -1.0) for _, f in d_outs)
+            return d_loss_r + d_loss_s, {
+                "d_real": d_loss_r, "d_fake": d_loss_s,
+                "new_disc_stats": new_disc_stats["batch_stats"],
+            }
+
+        if train:
+            (d_total, d_aux), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(state.disc_params)
+            g_updates, gen_opt_state = self.gen_tx.update(
+                g_grads, state.gen_opt_state, state.gen_params)
+            d_updates, disc_opt_state = self.disc_tx.update(
+                d_grads, state.disc_opt_state, state.disc_params)
+            state = state.replace(
+                step=state.step + 1,
+                gen_params=optax.apply_updates(state.gen_params, g_updates),
+                gen_stats=g_aux["new_gen_stats"],
+                disc_params=optax.apply_updates(state.disc_params, d_updates),
+                disc_stats=d_aux["new_disc_stats"],
+                gen_opt_state=gen_opt_state,
+                disc_opt_state=disc_opt_state,
+            )
+        else:
+            d_total, d_aux = d_loss_fn(state.disc_params)
+
+        losses = dict(g_aux["losses"])
+        losses["disc_real"] = d_aux["d_real"]
+        losses["disc_fake"] = d_aux["d_fake"]
+        figs = {"img": img, "gt": gt, "pred": g_aux["rgb"],
+                "gs": g_aux["gs"], "mask_edge": mask_edge}
+        return state, losses, figs
