@@ -1,0 +1,236 @@
+"""Command-line interface.
+
+The reference selects modes by editing source (`README.md:46-58`: change
+DATA_DIR_TEST, swap `fsr.testFFHQ` -> `fsr.test`, flip the map-fn line in
+dataset.py).  Here every mode is a subcommand over the same config presets:
+
+  python -m blindshadowremoval_tpu infer --data 'sample_imgs/*' --ckpt DIR
+  python -m blindshadowremoval_tpu ucb   --data 'UCB/train/input/*' \
+      --part-masks . --ckpt DIR
+  python -m blindshadowremoval_tpu sfw   --data 'SFW/*' --ckpt DIR
+  python -m blindshadowremoval_tpu sfw-video --data 'SFW/*' --ckpt DIR
+  python -m blindshadowremoval_tpu train --data 'Helen/bin/*' --val ... \
+      --ckpt DIR
+  python -m blindshadowremoval_tpu preprocess --input DIR --output DIR
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("--ckpt", default="./checkpoints",
+                   help="checkpoint directory (restore-latest)")
+    p.add_argument("--img-size", type=int, default=256)
+    p.add_argument("--variant", default=None,
+                   choices=[None, "gsc", "tsm", "rgb"])
+    p.add_argument("--seed", type=int, default=0)
+
+
+def build_parser():
+    ap = argparse.ArgumentParser(
+        prog="blindshadowremoval_tpu",
+        description="TPU-native blind facial shadow removal")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    for name, helptext in [
+        ("infer", "in-the-wild inference (reference: testFFHQ)"),
+        ("ucb", "UCB quantitative eval (reference: test)"),
+        ("sfw", "SFW shadow segmentation eval (reference: testsfw)"),
+        ("sfw-video", "SFW per-frame video removal (reference: testsfw_video)"),
+    ]:
+        p = sub.add_parser(name, help=helptext)
+        p.add_argument("--data", required=True, help="glob of test dirs")
+        _add_common(p)
+        if name == "ucb":
+            p.add_argument("--part-masks", required=True,
+                           help="root containing the UCB_input_images_* dirs")
+        if name == "sfw-video":
+            p.add_argument("--export-bbox", default=None)
+
+    p = sub.add_parser("train", help="GAN training (reference: train)")
+    p.add_argument("--data", required=True, nargs="+")
+    p.add_argument("--val", default=None, nargs="+")
+    p.add_argument("--shadow-masks", default="",
+                   help="external shadow PNG library for ShadowMaker")
+    p.add_argument("--steps-per-epoch", type=int, default=2000)
+    p.add_argument("--max-epoch", type=int, default=300)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--lr", type=float, default=1e-4)
+    _add_common(p)
+
+    p = sub.add_parser("preprocess",
+                       help="offline crop/align (reference: dataprocess.py)")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--size", type=int, default=256)
+
+    p = sub.add_parser("landmarks",
+                       help="offline landmark detection "
+                            "(reference: bmvc2022-dataprocess.py)")
+    p.add_argument("--input", required=True)
+    return ap
+
+
+def _restore(cfg):
+    import jax
+
+    from blindshadowremoval_tpu.train.trainer import Trainer
+    from blindshadowremoval_tpu.utils.checkpoint import CheckpointManager
+
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    mgr = CheckpointManager(cfg.checkpoint_dir)
+    state, step = mgr.restore_latest(state)
+    print(f"Restore from step {step}")
+    variables = {"params": state.gen_params, "batch_stats": state.gen_stats}
+    return trainer, state, variables, mgr
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from blindshadowremoval_tpu.config import get_config
+
+    if args.cmd == "preprocess":
+        return run_preprocess(args)
+    if args.cmd == "landmarks":
+        return run_landmarks(args)
+
+    preset = {"infer": "in_the_wild", "ucb": "ucb", "sfw": "sfw",
+              "sfw-video": "sfw_video", "train": "train"}[args.cmd]
+    overrides = dict(img_size=args.img_size, checkpoint_dir=args.ckpt)
+    if args.variant:
+        overrides["variant"] = args.variant
+    if args.cmd == "train":
+        overrides.update(
+            data_dirs=tuple(args.data),
+            data_dirs_val=tuple(args.val or ()),
+            shadow_mask_dir=args.shadow_masks,
+            steps_per_epoch=args.steps_per_epoch,
+            max_epoch=args.max_epoch, batch_size=args.batch_size,
+            learning_rate=args.lr)
+    else:
+        overrides["data_dirs_test"] = (args.data,)
+    cfg = get_config(preset, **overrides)
+
+    from blindshadowremoval_tpu.data.dataset import Dataset
+
+    if args.cmd == "train":
+        return run_train(cfg, args)
+
+    trainer, state, variables, _ = _restore(cfg)
+    from blindshadowremoval_tpu.eval.evaluators import (
+        InTheWildEvaluator,
+        SFWEvaluator,
+        SFWVideoEvaluator,
+        UCBEvaluator,
+    )
+
+    def _check(ds):
+        if not ds.name_list:
+            print(f"no samples matched {cfg.data_dirs_test} "
+                  "(need <name>.png + <name>.npy landmark pairs)",
+                  file=sys.stderr)
+        return ds
+
+    if args.cmd == "infer":
+        ds = _check(Dataset(cfg, "test", seed=args.seed))
+        InTheWildEvaluator(cfg, variables).run(ds)
+    elif args.cmd == "ucb":
+        ds = Dataset(cfg, "test", seed=args.seed)
+        results = UCBEvaluator(cfg, variables).run(ds, args.part_masks)
+        ps = [r["psnr"] for r in results]
+        ss = [r["ssim"] for r in results]
+        print(f"UCB mean PSNR {np.mean(ps):.3f}  mean SSIM {np.mean(ss):.4f}")
+    elif args.cmd == "sfw":
+        ds = Dataset(cfg, "test", dset="sfw", seed=args.seed)
+        results = SFWEvaluator(cfg, variables).run(ds)
+        print(f"SFW mean AUC {np.mean([r['auc'] for r in results]):.4f}")
+    elif args.cmd == "sfw-video":
+        ds = Dataset(cfg, "test", dset="sfw", seed=args.seed)
+        SFWVideoEvaluator(cfg, variables).run(ds, args.export_bbox)
+    return 0
+
+
+def run_train(cfg, args):
+    import jax
+
+    from blindshadowremoval_tpu.data.dataset import Dataset
+    from blindshadowremoval_tpu.train.loop import fit
+
+    ds_train = Dataset(cfg, "train", seed=args.seed)
+    ds_val = Dataset(cfg, "val", seed=args.seed + 1) if cfg.data_dirs_val else None
+    fit(cfg, ds_train, ds_val)
+    return 0
+
+
+def run_preprocess(args):
+    """Offline crop (dataprocess.py contract): for every <name>.png with
+    <name>.npy landmarks under --input, write the 256-crop + rescaled
+    landmarks to --output/<name>/."""
+    import glob
+    import os
+
+    import cv2
+
+    from blindshadowremoval_tpu.geometry.crop import offline_crop
+
+    n_ok = 0
+    for png in sorted(glob.glob(os.path.join(args.input, "*.png"))):
+        npy = png.rsplit(".", 1)[0] + ".npy"
+        if not os.path.isfile(npy):
+            continue
+        img = cv2.cvtColor(cv2.imread(png), cv2.COLOR_BGR2RGB)
+        res = offline_crop(img, np.load(npy), out_size=args.size)
+        if res is None:
+            print(f"skip (face too small): {png}")
+            continue
+        crop, lm = res
+        name = os.path.splitext(os.path.basename(png))[0]
+        outdir = os.path.join(args.output, name)
+        os.makedirs(outdir, exist_ok=True)
+        cv2.imwrite(os.path.join(outdir, name + ".png"),
+                    cv2.cvtColor(crop.astype(np.uint8), cv2.COLOR_RGB2BGR))
+        np.save(os.path.join(outdir, name + ".npy"), lm)
+        n_ok += 1
+    print(f"preprocessed {n_ok} faces -> {args.output}")
+    return 0
+
+
+def run_landmarks(args):
+    """Offline 68-point landmark detection (bmvc2022-dataprocess.py contract):
+    requires the optional `face_alignment` package (FAN CNN)."""
+    try:
+        import face_alignment
+    except ImportError:
+        print("face_alignment is not installed; landmark detection needs the "
+              "FAN CNN (see bmvc2022-dataprocess.py:10 in the reference). "
+              "Provide 68x2 .npy landmarks from any detector instead.",
+              file=sys.stderr)
+        return 2
+
+    import glob
+    import os
+
+    import cv2
+
+    fa = face_alignment.FaceAlignment(
+        face_alignment.LandmarksType.TWO_D, flip_input=False)
+    for png in sorted(glob.glob(os.path.join(args.input, "*.png"))):
+        img = cv2.cvtColor(cv2.imread(png), cv2.COLOR_BGR2RGB)
+        preds = fa.get_landmarks(img)
+        if not preds:
+            print(f"no face: {png}")
+            continue
+        np.save(png.rsplit(".", 1)[0] + ".npy", preds[0])
+        print(f"landmarks: {png}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

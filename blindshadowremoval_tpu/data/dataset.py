@@ -1,0 +1,325 @@
+"""Data pipeline: host decode/crop + geometry maps -> batch dicts.
+
+Re-design of the reference tf.data pipelines (dataset.py:18-1069,
+dataset_with_TSM.py:19-585).  Differences from the reference:
+
+  * batches are **dicts of named arrays** instead of channel-packed tensors
+    (`[2,256,256,17]` packs, dataset.py:92); `pack_views`/`unpack_views`
+    provide the packed layout for parity tooling;
+  * parsing runs in a thread pool with double-buffered prefetch instead of
+    tf.data `numpy_function` (image decode via cv2/PIL is I/O, not compute —
+    SURVEY.md §2b);
+  * geometry maps use the jittable barycentric rasterizer (geometry/) instead
+    of per-image matplotlib interpolation.
+
+File-layout contracts preserved exactly:
+  * train dirs: `<identity>/<frame>.png` + `<frame>.npy` 68x2 landmarks;
+  * UCB test: `<root>/input/<id>/<img>.npy|png` with gt at `<root>/gt/...`
+    (dataset.py:151-155);
+  * FFHQ / in-the-wild: gt = input (dataset.py:622-623);
+  * SFW: `<frame>.png` + `<frame>.npy` + `<frame>_label.png` (+ `_cmap.png`);
+    video mode picks 10 temporally spread frames with the reference's
+    frame-offset schedule (dataset.py:808-867).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as _futures
+import glob as _glob
+import os
+import threading
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from blindshadowremoval_tpu.config import Config
+from blindshadowremoval_tpu.data.synthesis import shadow_synthesis_host
+from blindshadowremoval_tpu.geometry.crop import face_crop_and_resize
+from blindshadowremoval_tpu.geometry.landmarks import LM_REF
+from blindshadowremoval_tpu.geometry.triangulation import (
+    generate_face_region,
+    generate_offset_map,
+    generate_uv_map,
+)
+
+# channel-packed layouts (for parity with the reference's packed tensors)
+TRAIN_PACK = ("img_dark", 3), ("gt", 3), ("mask", 1), ("uv", 3), ("reg", 6), ("face", 1)
+TEST_PACK = ("img", 3), ("gt", 3), ("uv", 3), ("reg", 6), ("face", 1)
+
+
+def _natsorted(items):
+    """Natural sort (numeric-aware), matching natsort's default for paths."""
+    import re
+
+    def key(s):
+        return [int(t) if t.isdigit() else t
+                for t in re.split(r"(\d+)", str(s))]
+
+    return sorted(items, key=key)
+
+
+def _imread_rgb(path: str) -> np.ndarray:
+    import cv2
+
+    img = cv2.imread(path)
+    if img is None:
+        raise FileNotFoundError(path)
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB) / 255.0
+
+
+def _imread_gray_raw(path: str) -> np.ndarray:
+    import cv2
+
+    img = cv2.imread(path, 0)
+    if img is None:
+        raise FileNotFoundError(path)
+    return img[..., None].astype(np.float32)
+
+
+def _geometry(lm: np.ndarray, size: int) -> dict:
+    return {
+        "uv": generate_uv_map(lm, size),
+        "reg": np.concatenate([generate_offset_map(lm, LM_REF, size),
+                               generate_offset_map(LM_REF, lm, size)], axis=2),
+        "face": generate_face_region(lm, size),
+    }
+
+
+def pack_views(view: dict, layout=TEST_PACK) -> np.ndarray:
+    """Dict -> channel-packed array (the reference's tensor layout)."""
+    return np.concatenate([view[k][..., :c] for k, c in layout], axis=-1)
+
+
+def unpack_views(packed: np.ndarray, layout=TEST_PACK) -> dict:
+    out, ofs = {}, 0
+    for k, c in layout:
+        out[k] = packed[..., ofs:ofs + c]
+        ofs += c
+    return out
+
+
+class Dataset:
+    """Mode-dispatching dataset with the reference's `.name_list` contract."""
+
+    def __init__(self, config: Config, mode: str, dset: Optional[str] = None,
+                 seed: int = 0):
+        self.config = config
+        self.mode = mode
+        self.dset = dset
+        self.rng = np.random.default_rng(seed)
+        if mode == "train":
+            dirs = config.data_dirs
+        elif mode == "val":
+            dirs = config.data_dirs_val
+        else:
+            dirs = config.data_dirs_test
+        self.name_list = self._collect(dirs)
+        self.feed = iter(self)
+
+    # ----------------------------------------------------------- listing
+    def _collect(self, dirs: Sequence[str]) -> list[str]:
+        try:
+            from natsort import natsorted
+        except ImportError:
+            natsorted = _natsorted
+        samples: list[str] = []
+        if self.mode in ("train", "val"):
+            for d in dirs:
+                samples += _glob.glob(d)
+        else:
+            # sfw frame eval keys off the label masks
+            # (dataset_with_TSM.py:62); video mode and image eval key off the
+            # landmark files (dataset.py:56)
+            if self.dset == "sfw" and self.config.mode != "sfw_video":
+                pattern = "/*_label.png"
+            else:
+                pattern = "/*.npy"
+            for d in dirs:
+                for folder in natsorted(_glob.glob(d)):
+                    samples += natsorted(_glob.glob(folder + pattern))
+        return samples
+
+    # ----------------------------------------------------------- parsers
+    def parse_train(self, identity_dir: str) -> dict:
+        """One training sample: random frame + mirrored twin
+        (dataset.py:75-109).  Returns a dict of [2,S,S,C] arrays."""
+        cfg = self.config
+        s = cfg.img_size
+        lms = _glob.glob(identity_dir + "/*.npy")
+        lm_path = lms[int(self.rng.integers(0, len(lms)))]
+        gt_path = lm_path.rsplit(".", 1)[0] + ".png"
+
+        gt0 = _imread_rgb(gt_path)
+        gt, lm, lm_mirror, _ = face_crop_and_resize(
+            gt0, np.load(lm_path), s, aug=True, rng=self.rng)
+        gt, img_dark, mask, _, face = shadow_synthesis_host(
+            gt, lm, 0.0, mask_dir=cfg.shadow_mask_dir or None, rng=self.rng)
+        g = _geometry(lm, s)
+
+        gm = _geometry(lm_mirror, s)
+        view0 = {"img_dark": img_dark, "gt": gt, "mask": mask[..., :1],
+                 "face": face[..., :1], **g}
+        view1 = {"img_dark": img_dark[:, ::-1], "gt": gt[:, ::-1],
+                 "mask": mask[:, ::-1, :1], "face": face[:, ::-1, :1], **gm}
+        return {k: np.stack([view0[k], view1[k]]).astype(np.float32)
+                for k in view0}
+
+    def _test_view(self, lm_path: str, gt: Optional[np.ndarray],
+                   extra: Optional[np.ndarray] = None):
+        """One eval view: crop + geometry; gt rides through the same crop."""
+        cfg = self.config
+        s = cfg.img_size
+        img = _imread_rgb(lm_path.rsplit(".", 1)[0] + ".png")
+        chans = [img] + ([gt] if gt is not None else []) + \
+            ([extra] if extra is not None else [])
+        stacked = np.concatenate(chans, axis=2)
+        crop, lm, lm_mirror, box = face_crop_and_resize(
+            stacked, np.load(lm_path), s)
+        g = _geometry(lm, s)
+        view = {"img": crop[..., :3], **g}
+        ofs = 3
+        if gt is not None:
+            view["gt"] = crop[..., ofs:ofs + 3]
+            ofs += 3
+        if extra is not None:
+            view["extra"] = crop[..., ofs:]
+        return view, box, lm_mirror
+
+    def parse_test_ucb(self, lm_path: str) -> tuple[dict, np.ndarray]:
+        """Anchor + 9 random same-folder references (dataset.py:148-302)."""
+        gt_path = self._ucb_gt_path(lm_path)
+        gt = _imread_rgb(gt_path)
+        views = []
+        anchor, box, _ = self._test_view(lm_path, gt)
+        views.append(anchor)
+        folder = os.path.dirname(lm_path)
+        pool = _glob.glob(folder + "/*.npy")
+        for _ in range(9):
+            ref = pool[int(self.rng.integers(0, len(pool)))]
+            v, _, _ = self._test_view(ref, gt)
+            views.append(v)
+        batch = {k: np.stack([v[k] for v in views]).astype(np.float32)
+                 for k in views[0]}
+        return batch, np.asarray(box, np.float32)
+
+    @staticmethod
+    def _ucb_gt_path(lm_path: str) -> str:
+        """`<root>/input/<id>/<img>` -> `<root>/gt/<id>/<img>.png`
+        (dataset.py:151-155)."""
+        parts = lm_path.replace("\\", "/").split("/")
+        stem = parts[-1].split(".")[0] + ".png"
+        return "/".join(parts[:-3] + ["gt"] + parts[-2:-1] + [stem])
+
+    def parse_test_ffhq(self, lm_path: str) -> tuple[dict, np.ndarray]:
+        """In-the-wild: gt = input (dataset.py:616-770)."""
+        gt = _imread_rgb(lm_path.rsplit(".", 1)[0] + ".png")
+        views = []
+        anchor, box, _ = self._test_view(lm_path, gt)
+        views.append(anchor)
+        folder = os.path.dirname(lm_path)
+        pool = _glob.glob(folder + "/*.npy")
+        for _ in range(9):
+            ref = pool[int(self.rng.integers(0, len(pool)))]
+            v, _, _ = self._test_view(ref, gt)
+            views.append(v)
+        batch = {k: np.stack([v[k] for v in views]).astype(np.float32)
+                 for k in views[0]}
+        return batch, np.asarray(box, np.float32)
+
+    def parse_test_sfw(self, label_path: str) -> tuple[dict, np.ndarray]:
+        """One SFW frame + mirrored twin with cmap + label mask
+        (dataset_with_TSM.py:225-287)."""
+        cfg = self.config
+        s = cfg.img_size
+        stem = label_path[:-len("_label.png")]
+        lm_path = stem + ".npy"
+        cmap = _imread_rgb(stem + "_cmap.png")
+        label = _imread_gray_raw(label_path)
+        extra = np.concatenate([cmap, label], axis=2)
+
+        v, box, lm_mirror = self._test_view(lm_path, None, extra)
+        gm = _geometry(lm_mirror, s)
+        img_m = v["img"][:, ::-1]
+        extra_m = v["extra"][:, ::-1]
+        view_m = {"img": img_m, "extra": extra_m, **gm}
+        batch = {k: np.stack([v[k], view_m[k]]).astype(np.float32)
+                 for k in v}
+        batch["cmap"] = batch["extra"][..., :3]
+        batch["label"] = batch["extra"][..., 3:4]
+        del batch["extra"]
+        return batch, np.asarray(box, np.float32)
+
+    @staticmethod
+    def video_frame_schedule(frame: int) -> list[int]:
+        """The 10-frame temporal spread (dataset.py:808-867)."""
+        f = frame
+        if f < 3:
+            rest = [f + 2, f + 4, f + 6, f + 8, f + 10, f + 12, f + 14,
+                    f + 16, f + 1]
+        elif f < 5:
+            rest = [f + 1, f + 3, f + 5, f + 7, f + 9, f + 11, f + 13,
+                    f + 15, f - 2]
+        elif f < 7:
+            rest = [f + 1, f + 3, f + 5, f + 7, f + 9, f + 11, f + 13,
+                    f - 2, f - 4]
+        elif f < 9:
+            rest = [f + 1, f + 3, f + 5, f + 7, f + 9, f + 11, f - 2,
+                    f - 4, f - 6]
+        elif f > 100:
+            rest = [f - 1, f - 3, f - 5, f - 7, f - 9, f - 11, f - 2,
+                    f - 4, f - 6]
+        else:
+            rest = [f + 1, f + 3, f + 5, f + 7, f + 9, f - 2, f - 4,
+                    f - 6, f - 8]
+        return [f] + rest
+
+    def parse_test_sfw_video(self, lm_path: str) -> tuple[dict, np.ndarray]:
+        """10 temporally spread frames of one video (dataset.py:772-1065)."""
+        folder = os.path.dirname(lm_path)
+        stem = os.path.basename(lm_path).split(".")[0]
+        frames = self.video_frame_schedule(int(stem))
+        views, box = [], None
+        for fr in frames:
+            lm_path = os.path.join(folder, f"{fr}.npy")
+            v, b, _ = self._test_view(lm_path, None)
+            views.append(v)
+            if box is None:
+                box = b
+        batch = {k: np.stack([v[k] for v in views]).astype(np.float32)
+                 for k in views[0]}
+        return batch, np.asarray(box, np.float32)
+
+    # --------------------------------------------------------- iteration
+    def __iter__(self) -> Iterator:
+        if self.mode in ("train", "val"):
+            return self._train_iter()
+        return self._test_iter()
+
+    def _train_iter(self):
+        """Infinite shuffled iterator with thread-pool prefetch."""
+        pool = _futures.ThreadPoolExecutor(max_workers=4)
+        lock = threading.Lock()
+
+        def sample():
+            with lock:
+                d = self.name_list[int(self.rng.integers(0, len(self.name_list)))]
+            return self.parse_train(d)
+
+        pending = [pool.submit(sample) for _ in range(8)]
+        idx = 0
+        while True:
+            result = pending[idx].result()
+            pending[idx] = pool.submit(sample)
+            idx = (idx + 1) % len(pending)
+            yield result
+
+    def _test_iter(self):
+        for name in self.name_list:
+            if self.dset == "sfw" and self.config.mode == "sfw_video":
+                yield (*self.parse_test_sfw_video(name), name)
+            elif self.dset == "sfw":
+                yield (*self.parse_test_sfw(name), name)
+            elif self.config.mode == "ucb":
+                yield (*self.parse_test_ucb(name), name)
+            else:
+                yield (*self.parse_test_ffhq(name), name)

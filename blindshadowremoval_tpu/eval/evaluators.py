@@ -1,0 +1,231 @@
+"""Evaluation harnesses: in-the-wild, UCB (PSNR/SSIM), SFW (AUC), SFW video.
+
+Re-design of the reference's eval loops (train_test_GSC.py:360-932):
+
+  * `InTheWildEvaluator`  — testFFHQ: forward, face-gate the mask, save a
+    result strip (no metrics, gt unknown);
+  * `UCBEvaluator`        — test(): forward with 10 reference views, resize
+    the anchor prediction into the original crop box, run the heuristic
+    post-processor (eval/postprocess.py), composite, report PSNR/SSIM;
+  * `SFWEvaluator`        — testsfw: shadow-mask PSNR/SSIM + pixel ROC-AUC
+    against `*_label.png` (label==2 is the shadow class,
+    train_test_GSC.py:820);
+  * `SFWVideoEvaluator`   — testsfw_video: per-frame removal outputs +
+    optional bbox export.
+
+The model forward is jitted once and reused across images; everything after
+the forward that is scalar-gated heuristics runs on host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from blindshadowremoval_tpu.config import Config
+from blindshadowremoval_tpu.eval.postprocess import (
+    PostprocessParams,
+    composite,
+    ucb_postprocess,
+)
+from blindshadowremoval_tpu.ops.auc import roc_auc_with_sentinels
+from blindshadowremoval_tpu.ops.image import psnr as psnr_fn
+from blindshadowremoval_tpu.ops.image import ssim as ssim_fn
+from blindshadowremoval_tpu.train.trainer import build_generator
+from blindshadowremoval_tpu.utils.logging import TrainLogger
+
+
+def _resize_np(img: np.ndarray, size: int) -> np.ndarray:
+    import cv2
+
+    out = cv2.resize(img.astype(np.float32), (size, size),
+                     interpolation=cv2.INTER_LINEAR)
+    if out.ndim == 2:
+        out = out[..., None]
+    return out
+
+
+def _pad_to(img: np.ndarray, size: int) -> np.ndarray:
+    return np.pad(img, ((0, size - img.shape[0]), (0, size - img.shape[1]),
+                        (0, 0)))
+
+
+@dataclasses.dataclass
+class Evaluator:
+    """Shared forward machinery."""
+
+    config: Config
+    variables: Any                 # {'params':..., 'batch_stats':...}
+    logger: Optional[TrainLogger] = None
+
+    def __post_init__(self):
+        cfg = self.config
+        self.gen = build_generator(cfg)
+        if self.logger is None:
+            self.logger = TrainLogger(cfg.checkpoint_dir)
+        is_tsm = cfg.variant == "tsm"
+
+        def fwd(variables, img, uv, reg, frame, share):
+            if is_tsm:
+                return self.gen.apply(variables, img, uv, reg, frame=frame,
+                                      share=share, train=False)
+            return self.gen.apply(variables, img, uv, reg, train=False)
+
+        self._fwd = jax.jit(fwd, static_argnames=("frame", "share"))
+
+    def forward(self, batch: dict, frame: int = 1, share: bool = True):
+        """batch: dict of [V,S,S,C] views.  Returns (gs, rgb, mask22, dif)
+        as numpy arrays; `dif` is the shadow-probability map `mask_pred`."""
+        out = self._fwd(self.variables, jnp.asarray(batch["img"]),
+                        jnp.asarray(batch["uv"]), jnp.asarray(batch["reg"]),
+                        frame, share)
+        return tuple(np.asarray(o) for o in out)
+
+
+class InTheWildEvaluator(Evaluator):
+    """testFFHQ (train_test_GSC.py:840-890)."""
+
+    def run_one(self, batch: dict, box: np.ndarray, name: str):
+        _, rgb, _, mask_pred = self.forward(batch)
+        mask_pred = mask_pred * batch["face"]
+        rgb = np.clip(rgb, 0.0, 1.0)
+        figs = [batch["img"][:1], rgb[:1], mask_pred[:1] * 2.0]
+        path = self.logger.save_result_image(figs, name)
+        return {"result_path": path, "pred": rgb[0], "mask_pred": mask_pred[0]}
+
+    def run(self, dataset):
+        results = []
+        for step, (batch, box, name) in enumerate(dataset):
+            results.append(self.run_one(batch, box, name))
+        return results
+
+
+class UCBEvaluator(Evaluator):
+    """test() with heuristic post-processing (train_test_GSC.py:360-748)."""
+
+    PART_DIRS = {
+        "face_hair": "UCB_input_images_face_masks_cropped_and_padded_with_hair",
+        "face_no_hair": "UCB_input_images_face_masks_cropped_and_padded",
+        "mouth": "UCB_input_images_mouth_masks_cropped_and_padded",
+        "nose": "UCB_input_images_nose_masks_cropped_and_padded",
+        "eyebrow": "UCB_input_images_eyebrow_masks_cropped_and_padded",
+        "eye": "UCB_input_images_eye_masks_cropped_and_padded",
+        "glasses": "UCB_input_images_glasses_masks_cropped_and_padded",
+    }
+
+    def _load_part_masks(self, root: str, index: int) -> dict:
+        import cv2
+
+        names = sorted(os.listdir(os.path.join(root, self.PART_DIRS["face_hair"])))
+        fname = names[index]
+        out = {}
+        for key, d in self.PART_DIRS.items():
+            out[key] = cv2.imread(os.path.join(root, d, fname)) / 255.0
+        return out
+
+    def run_one(self, batch: dict, box: np.ndarray, name: str, parts: dict,
+                params: PostprocessParams = PostprocessParams()):
+        s = self.config.img_size
+        size = int(min(box[3] - box[1], s))
+        _, rgb, _, mask_pred = self.forward(batch, frame=4)
+
+        # anchor view, resized into the crop box then padded back to 256
+        # (train_test_GSC.py:435-476)
+        gt_sc = _pad_to(_resize_np(batch["gt"][0], size), s)
+        tmp = _pad_to(_resize_np(batch["img"][0], size), s)
+        pred = _pad_to(_resize_np(np.clip(rgb[0], 0, 1), size), s)
+        mp = _pad_to(_resize_np(mask_pred[0], size), s)
+        mp = np.repeat(mp, 3, axis=2) if mp.shape[2] == 1 else mp
+
+        part = {k: _pad_to(np.round(_resize_np(v, size)), s)
+                for k, v in parts.items()}
+
+        detected, _ = ucb_postprocess(
+            mp, tmp, part["face_hair"], part["face_no_hair"], part["mouth"],
+            part["nose"], part["eyebrow"], part["eye"], part["glasses"],
+            params)
+        out = composite(pred, tmp, detected)
+
+        ssim = float(ssim_fn(jnp.asarray(gt_sc)[None], jnp.asarray(out)[None])[0])
+        psnr = float(psnr_fn(jnp.asarray(gt_sc)[None], jnp.asarray(out)[None])[0])
+        figs = [tmp[None], out[None], mp[None] * 2, gt_sc[None],
+                detected[None]]
+        self.logger.save_result_image(figs, name)
+        return {"ssim": ssim, "psnr": psnr, "pred": out, "detected": detected}
+
+    def run(self, dataset, part_mask_root: str,
+            params: PostprocessParams = PostprocessParams()):
+        results = []
+        for step, (batch, box, name) in enumerate(dataset):
+            parts = self._load_part_masks(part_mask_root, step)
+            r = self.run_one(batch, box, name, parts, params)
+            self.logger.display({"ssim": r["ssim"], "psnr": r["psnr"]},
+                                0, step, False, len(dataset.name_list))
+            results.append(r)
+        return results
+
+
+class SFWEvaluator(Evaluator):
+    """testsfw (train_test_GSC.py:798-838): shadow segmentation metrics."""
+
+    def run_one(self, batch: dict, box: np.ndarray, name: str,
+                frame: int = 2, share: bool = True):
+        _, rgb, _, mask_pred = self.forward(batch, frame=frame, share=share)
+        mask_pred = mask_pred * batch["face"]
+        rgb = np.clip(rgb, 0.0, 1.0)
+
+        label_raw = batch["label"][0]
+        pred0 = mask_pred[0]
+        ssim = float(ssim_fn(jnp.asarray(label_raw)[None],
+                             jnp.asarray(pred0)[None])[0])
+        psnr = float(psnr_fn(jnp.asarray(label_raw)[None],
+                             jnp.asarray(pred0)[None])[0])
+        shadow_gt = (label_raw == 2).astype(np.float32)   # label==2 is shadow
+        auc = float(roc_auc_with_sentinels(jnp.asarray(shadow_gt),
+                                           jnp.asarray(pred0)))
+        figs = [batch["img"][:1], rgb[:1], mask_pred[:1] * 2,
+                shadow_gt[None]]
+        self.logger.save_result_image(figs, name)
+        return {"ssim": ssim, "psnr": psnr, "auc": auc,
+                "pred": rgb[0], "mask_pred": pred0}
+
+    def run(self, dataset):
+        results = []
+        for step, (batch, box, name) in enumerate(dataset):
+            r = self.run_one(batch, box, name)
+            self.logger.display(
+                {"ssim": r["ssim"], "psnr": r["psnr"], "auc": r["auc"]},
+                0, step, False, len(dataset.name_list))
+            results.append(r)
+        return results
+
+
+class SFWVideoEvaluator(Evaluator):
+    """testsfw_video (train_test_GSC.py:772-796,892-932)."""
+
+    def run_one(self, batch: dict, box: np.ndarray, name: str,
+                export_bbox_dir: Optional[str] = None):
+        _, rgb, _, mask_pred = self.forward(batch, frame=10)
+        mask_pred = mask_pred * batch["face"]
+        rgb = np.clip(rgb, 0.0, 1.0)
+        figs = [batch["img"][:1], rgb[:1], mask_pred[:1] * 2]
+        self.logger.save_result_image(figs, name)
+        if export_bbox_dir:
+            import scipy.io
+
+            os.makedirs(export_bbox_dir, exist_ok=True)
+            parts = name.replace("\\", "/").split("/")
+            scipy.io.savemat(
+                os.path.join(export_bbox_dir,
+                             f"{parts[-2]}_{parts[-1]}.mat"),
+                {"bbox": np.asarray(box)})
+        return {"pred": rgb, "mask_pred": mask_pred}
+
+    def run(self, dataset, export_bbox_dir: Optional[str] = None):
+        return [self.run_one(batch, box, name, export_bbox_dir)
+                for batch, box, name in dataset]

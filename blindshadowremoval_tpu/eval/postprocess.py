@@ -1,0 +1,186 @@
+"""UCB eval-time heuristic post-processing.
+
+Faithful, parameterized re-implementation of the reference's shadow-mask
+cleanup (train_test_GSC.py:477-711) — these magic-number heuristics are
+load-bearing for the reported PSNR/SSIM (SURVEY.md hard part 2).  Pipeline:
+
+  1. face-gate the predicted shadow-probability map;
+  2. mustache / mouth false-positive suppression (low-probability pixels
+     between nose and mouth are usually facial hair, not shadow);
+  3. a spatially-varying detection threshold: higher in hair, lower in very
+     dark hair, permissive on a dim forehead, fully suppressed when the
+     mouth-and-below shadow fraction lands in known false-positive bands;
+  4. connected components: keep blobs >= 0.45x the largest that are not
+     >= 80% hair (device kernel, ops/components.py);
+  5. nose-region veto for known nose-shadow false-positive fractions;
+  6. composite: prediction inside the detected mask, input elsewhere.
+
+Scalar gates run on host numpy (per-image eval control flow); pixel-mass ops
+(components, threshold comparison) use the device kernels.  All magic
+numbers live in `PostprocessParams` with reference line citations, so the
+TSM variant's different constants (train_with_TSM.py:536,561) are presets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from blindshadowremoval_tpu.ops.components import (
+    filter_components,
+    label_components,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class PostprocessParams:
+    """All eval heuristics constants (citations: train_test_GSC.py)."""
+
+    base_threshold: float = 0.01          # :519
+    mustache_prob: float = 0.018          # :493
+    mouth_prob: float = 0.02              # :497
+    hair_threshold: float = 0.02          # :523
+    dark_hair_intensity: float = 0.13     # :524
+    dark_hair_threshold: float = 0.004    # :524
+    forehead_min_eyebrow: float = 30      # :528
+    forehead_intensity: float = 0.4       # :539
+    forehead_threshold: float = -0.001    # :539
+    mouth_frac_bands: tuple = (           # suppression bands :547-557
+        (0.252, 0.268, None),
+        (0.300, 0.310, 0.358),
+        (0.295, 0.300, 0.220),
+    )
+    min_frac_of_max: float = 0.45         # :599 (TSM uses 0.6, :536)
+    hair_veto_overlap: float = 0.8        # :610
+    nose_frac_bands: tuple = (            # nose veto bands :659
+        (0.15, 0.25), (0.30, 0.31), (0.34, 0.35))
+    nose_dark_intensity: float = 0.15     # :660
+    nose_veto_short: int = 5              # :661
+    nose_veto_long: int = 65              # :663
+    nose_veto_halfwidth: int = 35         # :661,663
+
+
+TSM_PARAMS = PostprocessParams(min_frac_of_max=0.6)
+
+
+def _bbox(mask01: np.ndarray):
+    rows, cols = np.where(mask01 > 0.5)
+    if rows.size == 0:
+        return None
+    return rows.min(), rows.max(), cols.min(), cols.max()
+
+
+def ucb_postprocess(
+    mask_pred: np.ndarray,       # (256,256,3) face-gated shadow prob
+    input_img: np.ndarray,       # (256,256,3) resized/padded input `tmp`
+    face_hair: np.ndarray,       # part masks, (256,256,3) binary
+    face_no_hair: np.ndarray,
+    mouth: np.ndarray,
+    nose: np.ndarray,
+    eyebrow: np.ndarray,
+    eye: np.ndarray,
+    glasses: np.ndarray,
+    params: PostprocessParams = PostprocessParams(),
+):
+    """Returns (detected_mask (256,256,3) binary, cleaned mask_pred)."""
+    del eye, glasses  # loaded for API parity; reference's uses are commented out
+    p = params
+    s = mask_pred.shape[0]
+    mask_pred = np.array(mask_pred * face_hair, copy=True)
+    intensity = np.repeat(input_img.mean(axis=2, keepdims=True), 3, axis=2)
+
+    # --- mustache / mouth suppression (:480-497) ----------------------
+    nose_box = _bbox(nose[..., 0])
+    mouth_box = _bbox(mouth[..., 0])
+    if nose_box and mouth_box:
+        mid_nose_h = (nose_box[0] + nose_box[1]) / 2.0
+        mustache = np.zeros_like(mask_pred)
+        mustache[int(mid_nose_h):int(mouth_box[0]),
+                 int(mouth_box[2]):int(mouth_box[3])] = 1
+        mask_pred *= ~((mask_pred < p.mustache_prob) & (mustache == 1))
+        mouth_region = np.zeros_like(mask_pred)
+        mouth_region[int(mouth_box[0]):int(mouth_box[1]),
+                     int(mouth_box[2]):int(mouth_box[3])] = 1
+        mask_pred *= ~((mask_pred < p.mouth_prob) & (mouth_region == 1))
+
+    hair_region = face_hair - face_no_hair
+
+    # --- spatially varying threshold (:518-539) -----------------------
+    threshold = np.full((s, s, 3), p.base_threshold)
+    threshold[hair_region > 0] = p.hair_threshold
+    threshold[(hair_region > 0)
+              & (intensity < p.dark_hair_intensity)] = p.dark_hair_threshold
+
+    if eyebrow[..., 0].sum() > p.forehead_min_eyebrow:
+        brow_box = _bbox(eyebrow[..., 0])
+        fh = np.array(face_no_hair, copy=True)
+        fh[brow_box[0]:s, :, :] = 0
+        fh_box = _bbox(fh[..., 0])
+        if fh_box:
+            forehead = np.zeros((s, s, 3))
+            forehead[int(fh_box[0] + 20):int(brow_box[0] - 40),
+                     int(fh_box[2] + 40):int(fh_box[3] - 40)] = 1
+            threshold[(forehead > 0)
+                      & (intensity < p.forehead_intensity)] = p.forehead_threshold
+
+    # --- mouth-and-below false-positive bands (:541-557) --------------
+    if mouth_box:
+        below = np.zeros((s, s, 3))
+        below[int(mouth_box[0]):s, :, :] = 1.0
+        roi = below * face_no_hair
+        over = (mask_pred > p.base_threshold).astype(np.float32)
+        frac = (over * roi).sum() / max(roi.sum(), 1e-6)
+        mnb = roi * input_img * over
+        denom = (roi[..., 0] * over[..., 0]).sum()
+        mean_mnb = mnb.mean(axis=2).sum() / max(denom, 1e-6)
+        for lo, hi, min_int in p.mouth_frac_bands:
+            if lo < frac < hi and (min_int is None or mean_mnb > min_int):
+                threshold[roi > 0] = 1.0
+
+    # --- left-eyebrow-at-face-edge gate (:558-572) --------------------
+    if eyebrow[..., 0].sum() > 0:
+        brow_box = _bbox(eyebrow[..., 0])
+        face_box = _bbox(face_no_hair[..., 0])
+        if brow_box and face_box and (brow_box[2] - face_box[2]) == 0:
+            mid_face = face_box[2] * 0.8 + face_box[3] * 0.2
+            left = np.zeros((s, s, 3))
+            left[:, 0:int(mid_face), :] = 1.0
+            gate = eyebrow * left
+            threshold[(gate > 0) & (intensity > 0.1)] = 1.0
+
+    detected = (mask_pred > threshold).astype(np.float32)
+
+    # --- connected components (device kernel) (:585-611) --------------
+    labels = label_components(jnp.asarray(detected[..., 0]))
+    kept = np.asarray(filter_components(
+        jnp.asarray(detected[..., 0]), labels,
+        jnp.asarray(p.min_frac_of_max),
+        veto_region=jnp.asarray(hair_region[..., 0]),
+        veto_max_overlap=jnp.asarray(p.hair_veto_overlap)))[..., None]
+
+    # --- nose veto (:647-663) -----------------------------------------
+    if nose_box:
+        shadow_img = kept * input_img.mean(axis=2, keepdims=True)
+        mean_int = shadow_img.sum() / max(kept.sum(), 1e-6)
+        frac_nose = ((nose[..., 0:1] * shadow_img) > 0).sum() / \
+            max(nose[..., 0].sum(), 1e-6)
+        mid_nose_h = (nose_box[0] + nose_box[1]) / 2.0
+        mid_nose_w = (nose_box[2] + nose_box[3]) / 2.0
+        if any(lo < frac_nose < hi for lo, hi in p.nose_frac_bands):
+            reach = (p.nose_veto_short if mean_int < p.nose_dark_intensity
+                     else p.nose_veto_long)
+            kept[int(mid_nose_h):int(nose_box[1] + reach),
+                 int(mid_nose_w - p.nose_veto_halfwidth):
+                 int(mid_nose_w + p.nose_veto_halfwidth)] = 0
+
+    detected_mask = np.repeat(kept, 3, axis=2)
+    return detected_mask.astype(np.float32), mask_pred
+
+
+def composite(pred: np.ndarray, input_img: np.ndarray,
+              detected_mask: np.ndarray) -> np.ndarray:
+    """out = pred * mask + input * (1 - mask), clipped (:711,718)."""
+    out = pred * detected_mask + input_img * (1.0 - detected_mask)
+    return np.clip(out, 0.0, 1.0)

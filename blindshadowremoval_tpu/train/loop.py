@@ -1,0 +1,72 @@
+"""The epoch-level training loop.
+
+Re-design of `FSRNet.train` (train_test_GSC.py:166-197): restore-or-init
+from the latest checkpoint, `max_epoch` epochs of `steps_per_epoch` train
+steps, a val pass of steps/10 with `train=False`, checkpoint per epoch.
+Batches stream from the host thread-pool loader; each step is one fused
+jitted G+D update.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from blindshadowremoval_tpu.config import Config
+from blindshadowremoval_tpu.train.trainer import Trainer
+from blindshadowremoval_tpu.utils.checkpoint import CheckpointManager
+from blindshadowremoval_tpu.utils.logging import TrainLogger
+
+
+def _device_batch(batch: dict) -> dict:
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+def fit(config: Config, dataset_train, dataset_val=None,
+        trainer: Optional[Trainer] = None, seed: int = 0):
+    """Run the full training schedule; returns the final TrainState."""
+    trainer = trainer or Trainer(config)
+    key = jax.random.PRNGKey(seed)
+    state = trainer.init_state(key)
+
+    mgr = CheckpointManager(config.checkpoint_dir)
+    state, last_epoch = mgr.restore_latest(state)
+    print("**********************************************************")
+    print(f"Restore from Epoch {last_epoch}")
+    print("**********************************************************")
+
+    log = TrainLogger(config.checkpoint_dir, config.img_log_freq,
+                      config.txt_log_freq, config.fig_size)
+    feed = iter(dataset_train)
+    feed_val = iter(dataset_val) if dataset_val is not None else None
+
+    for epoch in range(last_epoch, config.max_epoch):
+        t0 = time.time()
+        for step in range(config.steps_per_epoch):
+            batch = _device_batch(next(feed))
+            key, sub = jax.random.split(key)
+            state, losses, figs = trainer.train_step(state, batch, sub,
+                                                     train=True)
+            log.display(losses, epoch, step, True, config.steps_per_epoch)
+            log.save_figures([figs["img"], figs["gt"], figs["pred"],
+                              figs["gs"], figs["mask_edge"]], True)
+
+        mgr.save(epoch + 1, state)
+        if feed_val is not None:
+            for step in range(config.steps_per_epoch // 10):
+                batch = _device_batch(next(feed_val))
+                key, sub = jax.random.split(key)
+                _, losses, figs = trainer.train_step(state, batch, sub,
+                                                     train=False)
+                log.display(losses, epoch, step, False,
+                            config.steps_per_epoch // 10)
+                log.save_figures([figs["img"], figs["gt"], figs["pred"]],
+                                 False)
+        print(f"\n*****Time for epoch {epoch + 1} is "
+              f"{int(time.time() - t0)} sec*****")
+
+    mgr.close()
+    return state

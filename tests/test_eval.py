@@ -1,0 +1,191 @@
+"""Evaluators end-to-end on the real sample fixture + synthetic SFW/UCB
+fixtures (the reference ships runnable fixtures in sample_imgs/,
+SURVEY.md §4.3)."""
+
+import os
+import shutil
+
+import jax
+import numpy as np
+import pytest
+
+from blindshadowremoval_tpu.config import get_config
+from blindshadowremoval_tpu.data.dataset import Dataset, pack_views, unpack_views
+
+SAMPLE = "/root/reference/sample_imgs/02165"
+S = 64   # small eval resolution for CPU-speed tests
+
+
+def _small_config(tmp, mode, **kw):
+    return get_config(mode, img_size=S, compute_dtype="float32",
+                      checkpoint_dir=str(tmp), **kw)
+
+
+def _variables(cfg):
+    from blindshadowremoval_tpu.train.trainer import build_generator
+
+    gen = build_generator(cfg)
+    img = np.zeros((2, S, S, 3), np.float32)
+    reg = np.zeros((2, S, S, 6), np.float32)
+    if cfg.variant == "tsm":
+        return gen.init(jax.random.PRNGKey(0), img, img, reg, frame=2)
+    return gen.init(jax.random.PRNGKey(0), img, img, reg)
+
+
+@pytest.mark.skipif(not os.path.isdir(SAMPLE), reason="sample fixture absent")
+def test_ffhq_dataset_and_eval(tmp_path):
+    from blindshadowremoval_tpu.eval.evaluators import InTheWildEvaluator
+
+    cfg = _small_config(tmp_path, "in_the_wild",
+                        data_dirs_test=("/root/reference/sample_imgs/*",))
+    ds = Dataset(cfg, "test")
+    assert len(ds.name_list) == 1
+    batch, box, name = next(iter(ds))
+    assert batch["img"].shape == (10, S, S, 3)
+    # gt == input for in-the-wild (dataset.py:622-623)
+    np.testing.assert_allclose(batch["gt"][0], batch["img"][0])
+    assert batch["reg"].shape == (10, S, S, 6)
+
+    ev = InTheWildEvaluator(cfg, _variables(cfg))
+    out = ev.run(ds)
+    assert len(out) == 1
+    assert os.path.isfile(out[0]["result_path"])
+    assert out[0]["pred"].shape == (S, S, 3)
+
+
+def test_pack_unpack_roundtrip(rng):
+    view = {
+        "img": rng.uniform(size=(2, 8, 8, 3)).astype(np.float32),
+        "gt": rng.uniform(size=(2, 8, 8, 3)).astype(np.float32),
+        "uv": rng.uniform(size=(2, 8, 8, 3)).astype(np.float32),
+        "reg": rng.uniform(size=(2, 8, 8, 6)).astype(np.float32),
+        "face": rng.uniform(size=(2, 8, 8, 1)).astype(np.float32),
+    }
+    packed = pack_views(view)
+    assert packed.shape == (2, 8, 8, 16)    # the reference's test layout
+    back = unpack_views(packed)
+    for k in view:
+        np.testing.assert_allclose(back[k], view[k])
+
+
+def _make_sfw_fixture(tmp_path):
+    """Synthetic SFW video dir: frames 1..20 with lm/label/cmap."""
+    import cv2
+
+    src_img = cv2.imread(os.path.join(SAMPLE, "02165.png"))
+    lm = np.load(os.path.join(SAMPLE, "02165.npy"))
+    vid = tmp_path / "sfw" / "vid1"
+    vid.mkdir(parents=True)
+    label = np.zeros(src_img.shape[:2], np.uint8)
+    label[60:120, 60:120] = 2
+    label[130:150, 130:150] = 1
+    for fr in range(1, 21):
+        cv2.imwrite(str(vid / f"{fr}.png"), src_img)
+        np.save(str(vid / f"{fr}.npy"), lm)
+        cv2.imwrite(str(vid / f"{fr}_label.png"), label)
+        cv2.imwrite(str(vid / f"{fr}_cmap.png"), src_img)
+    return str(tmp_path / "sfw" / "*")
+
+
+@pytest.mark.skipif(not os.path.isdir(SAMPLE), reason="sample fixture absent")
+def test_sfw_eval(tmp_path):
+    from blindshadowremoval_tpu.eval.evaluators import SFWEvaluator
+
+    pattern = _make_sfw_fixture(tmp_path)
+    cfg = _small_config(tmp_path / "ckpt", "sfw", data_dirs_test=(pattern,))
+    ds = Dataset(cfg, "test", dset="sfw")
+    assert len(ds.name_list) == 20
+    name = ds.name_list[0]
+    batch, box = ds.parse_test_sfw(name)
+    assert batch["img"].shape == (2, S, S, 3)
+    assert batch["label"].shape == (2, S, S, 1)
+    assert set(np.unique(batch["label"][0]).astype(int)) <= {0, 1, 2}
+
+    ev = SFWEvaluator(cfg, _variables(cfg))
+    r = ev.run_one(batch, box, name)
+    assert 0.0 <= r["auc"] <= 1.0
+    assert np.isfinite(r["psnr"]) and np.isfinite(r["ssim"])
+
+
+@pytest.mark.skipif(not os.path.isdir(SAMPLE), reason="sample fixture absent")
+def test_sfw_video_schedule_and_eval(tmp_path):
+    from blindshadowremoval_tpu.eval.evaluators import SFWVideoEvaluator
+
+    # schedule matches the reference's banding (dataset.py:808-867)
+    assert Dataset.video_frame_schedule(1)[:3] == [1, 3, 5]
+    assert Dataset.video_frame_schedule(10)[-1] == 2
+    assert Dataset.video_frame_schedule(101)[1] == 100
+
+    pattern = _make_sfw_fixture(tmp_path)
+    cfg = _small_config(tmp_path / "ckpt", "sfw_video",
+                        data_dirs_test=(pattern,))
+    ds = Dataset(cfg, "test", dset="sfw")
+    name = ds.name_list[8]  # frame 9
+    batch, box = ds.parse_test_sfw_video(name)
+    assert batch["img"].shape == (10, S, S, 3)
+
+    ev = SFWVideoEvaluator(cfg, _variables(cfg))
+    r = ev.run_one(batch, box, name,
+                   export_bbox_dir=str(tmp_path / "bbox"))
+    assert r["pred"].shape == (10, S, S, 3)
+    assert len(os.listdir(tmp_path / "bbox")) == 1
+
+
+def _make_ucb_fixture(tmp_path):
+    """UCB layout: <root>/input/<id>/x.{png,npy}, <root>/gt/<id>/x.png,
+    plus the 7 part-mask dirs with one 256x256 mask each."""
+    import cv2
+
+    from blindshadowremoval_tpu.eval.evaluators import UCBEvaluator
+
+    src_img = cv2.imread(os.path.join(SAMPLE, "02165.png"))
+    lm = np.load(os.path.join(SAMPLE, "02165.npy"))
+    inp = tmp_path / "ucb" / "input" / "id1"
+    gt = tmp_path / "ucb" / "gt" / "id1"
+    inp.mkdir(parents=True)
+    gt.mkdir(parents=True)
+    cv2.imwrite(str(inp / "x.png"), src_img)
+    np.save(str(inp / "x.npy"), lm)
+    cv2.imwrite(str(gt / "x.png"), src_img)
+
+    h, w = 256, 256
+    masks = {
+        "face_hair": ((20, 240), (30, 230)),
+        "face_no_hair": ((40, 230), (40, 220)),
+        "mouth": ((170, 200), (100, 160)),
+        "nose": ((110, 165), (110, 145)),
+        "eyebrow": ((70, 85), (60, 200)),
+        "eye": ((90, 105), (60, 200)),
+        "glasses": ((88, 108), (55, 205)),
+    }
+    for key, ((r0, r1), (c0, c1)) in masks.items():
+        d = tmp_path / "ucb" / UCBEvaluator.PART_DIRS[key]
+        d.mkdir(parents=True)
+        m = np.zeros((h, w, 3), np.uint8)
+        m[r0:r1, c0:c1] = 255
+        cv2.imwrite(str(d / "x.png"), m)
+    return str(tmp_path / "ucb")
+
+
+@pytest.mark.skipif(not os.path.isdir(SAMPLE), reason="sample fixture absent")
+def test_ucb_eval(tmp_path):
+    from blindshadowremoval_tpu.eval.evaluators import UCBEvaluator
+
+    root = _make_ucb_fixture(tmp_path)
+    cfg = _small_config(tmp_path / "ckpt", "ucb",
+                        data_dirs_test=(root + "/input/*",),
+                        part_mask_root=root)
+    ds = Dataset(cfg, "test")
+    assert len(ds.name_list) == 1
+
+    ev = UCBEvaluator(cfg, _variables(cfg))
+    results = ev.run(ds, root)
+    assert len(results) == 1
+    r = results[0]
+    assert np.isfinite(r["psnr"]) and np.isfinite(r["ssim"])
+    assert r["detected"].shape == (S, S, 3) or r["detected"].shape == (256, 256, 3)
+
+
+def test_ucb_gt_path():
+    assert Dataset._ucb_gt_path("UCB/train/input/9156/9156-004.npy") == \
+        "UCB/train/gt/9156/9156-004.png"
