@@ -121,9 +121,11 @@ class NonLocalBlock(nn.Module):
         phi = conv1x1(half, "phi")(x).reshape(b, h * w, half)
         theta = conv1x1(half, "theta")(x).reshape(b, h * w, half)
 
-        attn = jnp.einsum("bnc,bmc->bnm", theta, phi)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
-        y = jnp.einsum("bnm,bmc->bnc", attn, g).reshape(b, h, w, half)
+        from blindshadowremoval_tpu.ops.pallas.nonlocal_attn import (
+            fused_nonlocal_attention,
+        )
+
+        y = fused_nonlocal_attention(theta, phi, g).reshape(b, h, w, half)
 
         wy = conv1x1(out_ch, "w")(y)
         if self.use_norm:

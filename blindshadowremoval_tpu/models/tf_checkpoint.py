@@ -1,0 +1,242 @@
+"""TF -> Flax checkpoint bridge (the weight naming contract).
+
+The reference ships `tf.train.Checkpoint` indexes for its three trained
+models (log/*/ckpt-{94,110,130}; the `.data` blobs are stripped from the
+repo, `.MISSING_LARGE_BLOBS`).  This module defines the bijection between
+those TF variable names and this framework's Flax parameter tree, so that
+
+  * the naming contract is machine-checked against the shipped index files
+    (names AND shapes — `verify_against_index`), and
+  * when real `.data` blobs are available, `load_tf_checkpoint` restores
+    them directly into a Flax variables dict.
+
+TF variable layout (observed in ckpt-94):
+  generator/{conv1,down1..3,up1..3,clr_up1..3,clr_conv1..3,conv2,conv3}
+      /conv/{kernel,bias}, /bnorm/{gamma,beta,moving_mean,moving_variance}
+  generator/res_stack/{i}/{conv1..3,bnorm1..3,
+      non_local/{g,phi,theta,w,bnorm}}
+  discriminator_{1..3}/{conv_stack/{i},conv2}/...
+
+Kernel conventions: Keras Conv2D kernels are HWIO like Flax (identity);
+Keras Conv2DTranspose kernels are [kh, kw, OUT, IN] and are applied as the
+gradient of a forward conv, whereas Flax's ConvTranspose expects [kh, kw,
+IN, OUT] applied as a fractionally-strided correlation — mapping requires a
+last-two-axes swap plus a spatial flip.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import numpy as np
+
+VAL_SUFFIX = "/.ATTRIBUTES/VARIABLE_VALUE"
+
+
+def _convt_transform(k: np.ndarray) -> np.ndarray:
+    """Keras Conv2DTranspose kernel -> Flax ConvTranspose kernel."""
+    return np.ascontiguousarray(k[::-1, ::-1].transpose(0, 1, 3, 2))
+
+
+def _identity(x: np.ndarray) -> np.ndarray:
+    return np.asarray(x)
+
+
+def _conv_block_entries(tf_prefix: str, has_bn: bool, transpose: bool = False):
+    """(flax_subpath, tf_name, transform) triples for one Conv/ConvT block."""
+    conv_key = "ConvTranspose_0" if transpose else "Conv_0"
+    tr = _convt_transform if transpose else _identity
+    entries = [
+        (("params", conv_key, "kernel"), f"{tf_prefix}/conv/kernel", tr),
+        (("params", conv_key, "bias"), f"{tf_prefix}/conv/bias", _identity),
+    ]
+    if has_bn:
+        entries += [
+            (("params", "BatchNorm_0", "scale"), f"{tf_prefix}/bnorm/gamma",
+             _identity),
+            (("params", "BatchNorm_0", "bias"), f"{tf_prefix}/bnorm/beta",
+             _identity),
+            (("batch_stats", "BatchNorm_0", "mean"),
+             f"{tf_prefix}/bnorm/moving_mean", _identity),
+            (("batch_stats", "BatchNorm_0", "var"),
+             f"{tf_prefix}/bnorm/moving_variance", _identity),
+        ]
+    return entries
+
+
+def _nonlocal_entries(tf_prefix: str):
+    entries = []
+    for name in ("g", "phi", "theta", "w"):
+        entries += [
+            (("params", name, "kernel"), f"{tf_prefix}/{name}/kernel",
+             _identity),
+            (("params", name, "bias"), f"{tf_prefix}/{name}/bias", _identity),
+        ]
+    entries += [
+        (("params", "BatchNorm_0", "scale"), f"{tf_prefix}/bnorm/gamma",
+         _identity),
+        (("params", "BatchNorm_0", "bias"), f"{tf_prefix}/bnorm/beta",
+         _identity),
+        (("batch_stats", "BatchNorm_0", "mean"),
+         f"{tf_prefix}/bnorm/moving_mean", _identity),
+        (("batch_stats", "BatchNorm_0", "var"),
+         f"{tf_prefix}/bnorm/moving_variance", _identity),
+    ]
+    return entries
+
+
+def _res_bottleneck_entries(tf_prefix: str):
+    entries = []
+    for i in range(3):
+        entries += [
+            (("params", f"Conv_{i}", "kernel"),
+             f"{tf_prefix}/conv{i + 1}/kernel", _identity),
+            (("params", f"Conv_{i}", "bias"),
+             f"{tf_prefix}/conv{i + 1}/bias", _identity),
+            (("params", f"BatchNorm_{i}", "scale"),
+             f"{tf_prefix}/bnorm{i + 1}/gamma", _identity),
+            (("params", f"BatchNorm_{i}", "bias"),
+             f"{tf_prefix}/bnorm{i + 1}/beta", _identity),
+            (("batch_stats", f"BatchNorm_{i}", "mean"),
+             f"{tf_prefix}/bnorm{i + 1}/moving_mean", _identity),
+            (("batch_stats", f"BatchNorm_{i}", "var"),
+             f"{tf_prefix}/bnorm{i + 1}/moving_variance", _identity),
+        ]
+    for sub, tf_name, tr in _nonlocal_entries(f"{tf_prefix}/non_local"):
+        entries.append(((sub[0], "NonLocalBlock_0") + sub[1:], tf_name, tr))
+    return entries
+
+
+def generator_mapping(n_res: int = 6):
+    """[(flax_path, tf_name, transform)] for the GSC generator.
+
+    flax_path is (collection, module..., leaf) relative to the generator's
+    variables dict.
+    """
+    entries = []
+
+    def add(flax_module: str, triples):
+        for sub, tf_name, tr in triples:
+            entries.append(((sub[0], flax_module) + sub[1:], tf_name, tr))
+
+    add("conv1", _conv_block_entries("generator/conv1", True))
+    # conv2/conv3 (the tanh-gain and offset heads) have no norm
+    add("conv2", _conv_block_entries("generator/conv2", False))
+    add("conv3", _conv_block_entries("generator/conv3", False))
+    for i in (1, 2, 3):
+        add(f"down{i}", _conv_block_entries(f"generator/down{i}", True))
+        add(f"up{i}", _conv_block_entries(f"generator/up{i}", True,
+                                          transpose=True))
+        add(f"clr_up{i}", _conv_block_entries(f"generator/clr_up{i}", True,
+                                              transpose=True))
+    add("clr_conv1", _conv_block_entries("generator/clr_conv1", True))
+    add("clr_conv2", _conv_block_entries("generator/clr_conv2", True))
+    add("clr_conv3", _conv_block_entries("generator/clr_conv3", False))
+    for i in range(n_res):
+        for sub, tf_name, tr in _res_bottleneck_entries(
+                f"generator/res_stack/{i}"):
+            entries.append(((sub[0], f"res{i}") + sub[1:], tf_name, tr))
+    return entries
+
+
+def discriminator_mapping(num_layers: int = 4):
+    """Mapping for the 3-scale discriminator trio
+    (flax: disc{1..3}/conv{i},head; tf: discriminator_{1..3})."""
+    entries = []
+    for d in (1, 2, 3):
+        for i in range(num_layers):
+            for sub, tf_name, tr in _conv_block_entries(
+                    f"discriminator_{d}/conv_stack/{i}", True):
+                entries.append(
+                    ((sub[0], f"disc{d}", f"conv{i}") + sub[1:], tf_name, tr))
+        for sub, tf_name, tr in _conv_block_entries(
+                f"discriminator_{d}/conv2", False):
+            entries.append(
+                ((sub[0], f"disc{d}", "head") + sub[1:], tf_name, tr))
+    return entries
+
+
+def _tree_get(tree: Any, path: tuple):
+    node = tree
+    for p in path:
+        node = node[p]
+    return node
+
+
+def _tree_set(tree: dict, path: tuple, value):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def verify_against_index(ckpt_prefix: str, variables: dict,
+                         mapping) -> dict:
+    """Check every mapped flax leaf against the TF index (name present,
+    shape consistent modulo the declared transform).
+
+    Returns {"matched": int, "missing_in_tf": [...], "shape_mismatch": [...],
+    "unmapped_tf": [...]} — all empty lists for a complete bridge.
+    """
+    import tensorflow as tf  # local import; TF is heavyweight
+
+    tf_vars = {name[:-len(VAL_SUFFIX)]: tuple(shape)
+               for name, shape in tf.train.list_variables(ckpt_prefix)
+               if name.endswith(VAL_SUFFIX) and ".OPTIMIZER_SLOT" not in name}
+
+    missing, mismatch, matched = [], [], 0
+    mapped_names = set()
+    for flax_path, tf_name, tr in mapping:
+        mapped_names.add(tf_name)
+        if tf_name not in tf_vars:
+            missing.append(tf_name)
+            continue
+        leaf = np.asarray(_tree_get(variables, flax_path))
+        probe = tr(np.zeros(tf_vars[tf_name], np.float32))
+        if tuple(leaf.shape) != tuple(probe.shape):
+            mismatch.append((tf_name, tuple(tf_vars[tf_name]),
+                             tuple(leaf.shape)))
+            continue
+        matched += 1
+    unmapped = sorted(
+        n for n in tf_vars
+        if n not in mapped_names and n != "_CHECKPOINTABLE_OBJECT_GRAPH"
+        and not n.startswith("save_counter"))
+    return {"matched": matched, "missing_in_tf": missing,
+            "shape_mismatch": mismatch, "unmapped_tf": unmapped}
+
+
+def load_tf_checkpoint(ckpt_prefix: str, variables: dict, mapping) -> dict:
+    """Restore TF checkpoint values into a (copied) flax variables dict.
+
+    Requires the checkpoint `.data` shards (the repo ships only indexes);
+    raises with a clear message when blobs are missing.
+    """
+    import jax.numpy as jnp
+    import tensorflow as tf
+
+    reader = tf.train.load_checkpoint(ckpt_prefix)
+    out: dict = {}
+    for flax_path, tf_name, tr in mapping:
+        try:
+            value = reader.get_tensor(tf_name + VAL_SUFFIX)
+        except Exception as e:  # stripped blobs
+            raise RuntimeError(
+                f"cannot read {tf_name!r} from {ckpt_prefix!r} — the "
+                "reference repo ships index files only "
+                "(.MISSING_LARGE_BLOBS); supply a full checkpoint") from e
+        _tree_set(out, flax_path, jnp.asarray(tr(value)))
+
+    # functional merge: restored leaves override, everything else kept
+    def merge(dst, src):
+        merged = {}
+        for k, v in dst.items():
+            if k not in src:
+                merged[k] = v
+            elif hasattr(v, "items"):
+                merged[k] = merge(dict(v), src[k])
+            else:
+                merged[k] = src[k]
+        return merged
+
+    return merge({k: dict(v) for k, v in variables.items()}, out)

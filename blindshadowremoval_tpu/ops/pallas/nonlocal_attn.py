@@ -1,0 +1,114 @@
+"""Fused embedded-Gaussian attention kernel for the NonLocal blocks.
+
+The generator's six NonLocal blocks each compute, at the 32x32 bottleneck,
+  out = softmax(theta @ phi^T) @ g          (model.py:51-53 in the reference)
+with N = 1024 positions and D = 128 channels.  Unfused, the N x N attention
+matrix round-trips HBM twice per block (8 MB f32 per image per block — the
+dominant HBM traffic of the whole model, which profiling shows is
+memory-bound).  This Pallas kernel keeps scores, softmax, and the weighted
+sum entirely in VMEM: one grid program per batch element, one HBM read of
+theta/phi/g and one write of out.
+
+N = 1024 and D = 128 are exact multiples of the MXU/VPU tiles, so the two
+matmuls run dense on the MXU with an f32 VPU softmax in between
+(~4 MB VMEM for the score tile, well under the 16 MB budget).
+
+Autodiff: forward runs the Pallas kernel; backward uses the standard
+attention gradients in plain XLA (training takes the same HBM traffic as the
+unfused path, inference gets the fused win).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu is importable only with a TPU-capable jaxlib; guard for safety
+    from jax.experimental.pallas import tpu as pltpu
+
+    _VMEM = pltpu.VMEM
+except Exception:  # pragma: no cover
+    pltpu = None
+    _VMEM = None
+
+
+def _attention_xla(theta: jax.Array, phi: jax.Array, g: jax.Array) -> jax.Array:
+    scores = jnp.einsum("bnd,bmd->bnm", theta, phi)
+    w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(g.dtype)
+    return jnp.einsum("bnm,bmd->bnd", w, g)
+
+
+def _attn_kernel(t_ref, p_ref, g_ref, o_ref):
+    t = t_ref[0]                                       # (N, D)
+    p = p_ref[0]
+    scores = jax.lax.dot_general(
+        t, p, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (N, N) f32 in VMEM
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    w = (e / s).astype(g_ref.dtype)
+    out = jnp.dot(w, g_ref[0], preferred_element_type=jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _pallas_attention(theta, phi, g, interpret=False):
+    b, n, d = theta.shape
+    return pl.pallas_call(
+        _attn_kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=_VMEM),
+            pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=_VMEM),
+            pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=_VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+                               memory_space=_VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), theta.dtype),
+        interpret=interpret,
+    )(theta, phi, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_nonlocal_attention(theta: jax.Array, phi: jax.Array, g: jax.Array,
+                             interpret: bool = False) -> jax.Array:
+    """softmax(theta @ phi^T) @ g over [B, N, D] operands.
+
+    Uses the fused Pallas kernel when shapes are MXU-aligned (N, D multiples
+    of 128 resp. 8) and a TPU pallas backend is available; falls back to the
+    XLA einsum path otherwise.  `interpret=True` forces the kernel through
+    the Pallas interpreter (for CPU testing).
+    """
+    b, n, d = theta.shape
+    aligned = (n % 128 == 0) and (d % 128 == 0)
+    use_pallas = (pltpu is not None) and aligned and (
+        interpret or jax.default_backend() == "tpu")
+    if not use_pallas:
+        return _attention_xla(theta, phi, g)
+    return _pallas_attention(theta, phi, g, interpret=interpret)
+
+
+def _fwd(theta, phi, g, interpret):
+    out = fused_nonlocal_attention(theta, phi, g, interpret)
+    return out, (theta, phi, g)
+
+
+def _bwd(interpret, res, dout):
+    theta, phi, g = res
+    scores = jnp.einsum("bnd,bmd->bnm", theta, phi).astype(jnp.float32)
+    w = jax.nn.softmax(scores, axis=-1)
+    dout32 = dout.astype(jnp.float32)
+    g32 = g.astype(jnp.float32)
+    dw = jnp.einsum("bnd,bmd->bnm", dout32, g32)
+    dg = jnp.einsum("bnm,bnd->bmd", w, dout32)
+    ds = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
+    dtheta = jnp.einsum("bnm,bmd->bnd", ds, phi.astype(jnp.float32))
+    dphi = jnp.einsum("bnm,bnd->bmd", ds, theta.astype(jnp.float32))
+    return (dtheta.astype(theta.dtype), dphi.astype(phi.dtype),
+            dg.astype(g.dtype))
+
+
+fused_nonlocal_attention.defvjp(_fwd, _bwd)

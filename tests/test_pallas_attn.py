@@ -1,0 +1,58 @@
+"""Fused NonLocal attention kernel vs the XLA reference path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from blindshadowremoval_tpu.ops.pallas.nonlocal_attn import (
+    _attention_xla,
+    _pallas_attention,
+    fused_nonlocal_attention,
+)
+
+
+def _ops(rng, b=2, n=256, d=128, dtype=np.float32):
+    t = rng.normal(scale=0.3, size=(b, n, d)).astype(dtype)
+    p = rng.normal(scale=0.3, size=(b, n, d)).astype(dtype)
+    g = rng.normal(scale=0.3, size=(b, n, d)).astype(dtype)
+    return jnp.asarray(t), jnp.asarray(p), jnp.asarray(g)
+
+
+def test_kernel_matches_xla_interpret(rng):
+    t, p, g = _ops(rng)
+    ref = np.asarray(_attention_xla(t, p, g))
+    out = np.asarray(_pallas_attention(t, p, g, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_dispatch_falls_back_off_tpu(rng):
+    # unaligned D -> XLA path regardless of backend
+    t, p, g = _ops(rng, d=96)
+    ref = np.asarray(_attention_xla(t, p, g))
+    out = np.asarray(fused_nonlocal_attention(t, p, g))
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_gradients_match_xla(rng):
+    t, p, g = _ops(rng, b=1, n=128)
+
+    def loss_fused(t, p, g):
+        return jnp.sum(fused_nonlocal_attention(t, p, g, True) ** 2)
+
+    def loss_ref(t, p, g):
+        return jnp.sum(_attention_xla(t, p, g) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(t, p, g)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(t, p, g)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=1e-3)
+
+
+def test_softmax_rows_sum_to_one_property(rng):
+    """Attention output of constant g equals g (softmax rows sum to 1)."""
+    t, p, _ = _ops(rng, b=1, n=128)
+    g = jnp.ones((1, 128, 128), jnp.float32) * 0.7
+    out = np.asarray(_pallas_attention(t, p, g, interpret=True))
+    np.testing.assert_allclose(out, 0.7, atol=1e-5)

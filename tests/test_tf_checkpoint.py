@@ -1,0 +1,100 @@
+"""Checkpoint bridge: the name/shape contract vs the shipped TF index.
+
+This is the machine check for SURVEY.md hard part 1 — every variable in the
+reference's trained GSC checkpoint (ckpt-94 index; data blobs stripped) must
+map onto exactly one leaf of our Flax tree with a consistent shape.
+"""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from blindshadowremoval_tpu.models.tf_checkpoint import (
+    _convt_transform,
+    discriminator_mapping,
+    generator_mapping,
+    _tree_get,
+)
+
+CKPT = ("/root/reference/log/FSR-OG-perlin-mask-OG-loss-weights-l1-recon-"
+        "fix-BGR-to-RGB-fix-VGG-greater-augmentation-reweight-gradients/"
+        "ckpt-94")
+
+needs_ckpt = pytest.mark.skipif(
+    not os.path.isfile(CKPT + ".index"), reason="reference ckpt index absent")
+
+
+def _gen_variables():
+    from blindshadowremoval_tpu.models.generator import GSCGenerator
+
+    gen = GSCGenerator()
+    img = np.zeros((1, 256, 256, 3), np.float32)
+    reg = np.zeros((1, 256, 256, 6), np.float32)
+    return gen.init(jax.random.PRNGKey(0), img, img, reg)
+
+
+def _disc_variables():
+    from blindshadowremoval_tpu.models.discriminator import (
+        MultiScaleDiscriminators,
+    )
+
+    disc = MultiScaleDiscriminators()
+    return disc.init(jax.random.PRNGKey(0),
+                     np.zeros((2, 256, 256, 6), np.float32))
+
+
+def test_mapping_paths_exist_in_flax_tree():
+    variables = _gen_variables()
+    for path, tf_name, _ in generator_mapping():
+        leaf = _tree_get(variables, path)
+        assert leaf is not None, (path, tf_name)
+
+
+def test_convt_transform_shape_and_flip():
+    k = np.arange(3 * 3 * 4 * 5, dtype=np.float32).reshape(3, 3, 4, 5)
+    out = _convt_transform(k)
+    assert out.shape == (3, 3, 5, 4)
+    np.testing.assert_allclose(out[0, 0, :, :], k[2, 2, :, :].T)
+
+
+@needs_ckpt
+def test_generator_bridge_complete():
+    pytest.importorskip("tensorflow")
+    from blindshadowremoval_tpu.models.tf_checkpoint import verify_against_index
+
+    variables = _gen_variables()
+    report = verify_against_index(CKPT, variables, generator_mapping())
+    gen_unmapped = [n for n in report["unmapped_tf"]
+                    if n.startswith("generator/")]
+    assert report["missing_in_tf"] == []
+    assert report["shape_mismatch"] == []
+    assert gen_unmapped == []
+    assert report["matched"] == 258   # observed generator variable count
+
+
+@needs_ckpt
+def test_discriminator_bridge_complete():
+    pytest.importorskip("tensorflow")
+    from blindshadowremoval_tpu.models.tf_checkpoint import verify_against_index
+
+    variables = _disc_variables()
+    report = verify_against_index(CKPT, variables, discriminator_mapping())
+    # exclude the optimizer hyperparameter scalars (beta_1, iter, ...)
+    disc_unmapped = [n for n in report["unmapped_tf"]
+                     if n.startswith(("discriminator_1/", "discriminator_2/",
+                                      "discriminator_3/"))]
+    assert report["missing_in_tf"] == []
+    assert report["shape_mismatch"] == []
+    assert disc_unmapped == []
+
+
+@needs_ckpt
+def test_load_raises_on_stripped_blobs():
+    pytest.importorskip("tensorflow")
+    from blindshadowremoval_tpu.models.tf_checkpoint import load_tf_checkpoint
+
+    variables = _gen_variables()
+    with pytest.raises((RuntimeError, Exception)):
+        load_tf_checkpoint(CKPT, variables, generator_mapping())
