@@ -69,12 +69,22 @@ class Evaluator:
         if self.logger is None:
             self.logger = TrainLogger(cfg.checkpoint_dir)
         is_tsm = cfg.variant == "tsm"
+        is_rgb = cfg.variant == "rgb"
 
         def fwd(variables, img, uv, reg, frame, share):
             if is_tsm:
                 return self.gen.apply(variables, img, uv, reg, frame=frame,
                                       share=share, train=False)
-            return self.gen.apply(variables, img, uv, reg, train=False)
+            out = self.gen.apply(variables, img, uv, reg, train=False)
+            if is_rgb:
+                # single-output ablation: synthesize the 4-tuple contract
+                # (train_RGB_test.py uses `dif` analog only implicitly)
+                from blindshadowremoval_tpu.ops.image import rgb_to_grayscale
+
+                gray = rgb_to_grayscale(out)
+                dif = gray - rgb_to_grayscale(img)
+                return gray, out, jnp.zeros_like(out), dif
+            return out
 
         self._fwd = jax.jit(fwd, static_argnames=("frame", "share"))
 

@@ -42,26 +42,32 @@ class ShareLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, reg: jax.Array, frame: int,
-                 share: bool = True) -> jax.Array:
-        if not share:
-            # passthrough keeps the channel contract (model_with_TSM.py:227)
+                 share: bool | jax.Array = True) -> jax.Array:
+        def passthrough(x, reg):
+            # keeps the channel contract (model_with_TSM.py:227)
             return jnp.concatenate([x, x], axis=3)
 
-        reg_in, reg_out = jnp.split(reg, 2, axis=3)
-        x_reg = batch_map_offsets(x, reg_in)
+        def shared(x, reg):
+            reg_in, reg_out = jnp.split(reg, 2, axis=3)
+            x_reg = batch_map_offsets(x, reg_in)
+            gf, h, w, c = x_reg.shape
+            grouped = x_reg.reshape(gf // frame, frame, h, w, c)
+            x_max = jnp.max(grouped, axis=1)
+            x_mean = jnp.mean(grouped, axis=1)
+            if self.axis_name is not None:
+                x_max = jax.lax.pmax(x_max, self.axis_name)
+                x_mean = jax.lax.pmean(x_mean, self.axis_name)
+            x_share = jnp.concatenate([x_max, x_mean], axis=3)
+            x_share = jnp.broadcast_to(
+                x_share[:, None], (gf // frame, frame, h, w, 2 * c)
+            ).reshape(gf, h, w, 2 * c)
+            return batch_map_offsets(x_share, reg_out)
 
-        gf, h, w, c = x_reg.shape
-        grouped = x_reg.reshape(gf // frame, frame, h, w, c)
-        x_max = jnp.max(grouped, axis=1)
-        x_mean = jnp.mean(grouped, axis=1)
-        if self.axis_name is not None:
-            x_max = jax.lax.pmax(x_max, self.axis_name)
-            x_mean = jax.lax.pmean(x_mean, self.axis_name)
-        x_share = jnp.concatenate([x_max, x_mean], axis=3)
-        x_share = jnp.broadcast_to(
-            x_share[:, None], (gf // frame, frame, h, w, 2 * c)
-        ).reshape(gf, h, w, 2 * c)
-        return batch_map_offsets(x_share, reg_out)
+        if isinstance(share, bool):             # static gate
+            return shared(x, reg) if share else passthrough(x, reg)
+        # traced gate — the TSM trainer randomizes `share` per step
+        # (train_with_TSM.py:218-221), mirroring the reference's tf.cond
+        return jax.lax.cond(share, shared, passthrough, x, reg)
 
 
 class TSMGenerator(nn.Module):

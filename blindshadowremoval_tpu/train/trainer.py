@@ -155,7 +155,13 @@ class Trainer:
         """One fused G+D step.  `batch` keys: img_dark, gt [B2,S,S,3],
         mask, face [B2,S,S,1], uv [B2,S,S,3], reg [B2,S,S,6]."""
         cfg = self.config
-        k_sat, k_comp, k_mirror = jax.random.split(key, 3)
+        k_sat, k_comp, k_mirror, k_share = jax.random.split(key, 4)
+        # TSM: frame=1 with a random share gate during training, always-on
+        # share in the val pass (train_with_TSM.py:216-221)
+        if train:
+            share = jax.random.uniform(k_share) > 0.5
+        else:
+            share = jnp.asarray(True)
 
         gt = batch["gt"]
         img_dark = batch["img_dark"]
@@ -180,13 +186,23 @@ class Trainer:
         def g_loss_fn(gen_params):
             gvars = {"params": gen_params, "batch_stats": state.gen_stats}
             if cfg.variant == "tsm":
-                out = self.gen.apply(gvars, img, uv, reg, frame=2,
-                                     train=train, mutable=mutable)
+                out = self.gen.apply(gvars, img, uv, reg, frame=1,
+                                     share=share, train=train,
+                                     mutable=mutable)
             else:
                 out = self.gen.apply(gvars, img, uv, reg,
                                      train=train, mutable=mutable)
-            (gs, rgb, mask22, dif), new_gen_stats = (
+            out, new_gen_stats = (
                 out if train else (out, {"batch_stats": state.gen_stats}))
+            if cfg.variant == "rgb":
+                # single-branch ablation: direct RGB output, no grayscale
+                # head (train_RGB_test.py: recon = recon_c only)
+                rgb = out
+                gs = rgb_to_grayscale(rgb)
+                mask22 = jnp.zeros_like(rgb)
+                dif = gs - rgb_to_grayscale(img)
+            else:
+                gs, rgb, mask22, dif = out
 
             d_img = jnp.concatenate([gt, rgb], axis=0)
             d_mask = jnp.concatenate([mask_sv, mask_sv], axis=0)
@@ -197,7 +213,10 @@ class Trainer:
 
             recon_gs, recon_c = reconstruction_losses(
                 gs, rgb, gt, gray_gt, mask_bi, mask_edge)
-            recon = (recon_gs + recon_c) / 2.0
+            if cfg.variant == "rgb":
+                recon = recon_c
+            else:
+                recon = (recon_gs + recon_c) / 2.0
             gan = -sum(jnp.mean(fake) for _, fake in d_outs)
             feats = self.vgg.apply({"params": state.vgg_params},
                                    preprocess(d_img))
