@@ -94,18 +94,15 @@ def face_crop_and_resize(
     lm_mirror[:, 0] -= box_m[0]
     lm_mirror[:, 1] -= box_m[1]
 
-    pad_x = max(-box[0], box[2] - cols) if (box[0] < 0 or box[2] > cols) else 0
-    pad_y = max(-box[1], box[3] - rows) if (box[1] < 0 or box[3] > rows) else 0
-    if pad_x > 0 or pad_y > 0:
-        big = np.zeros((rows + 2 * pad_y + 2, cols + 2 * pad_x + 2, img.shape[2]),
-                       dtype=img.dtype)
-        big[pad_y:pad_y + rows, pad_x:pad_x + cols, :] = img
-        img = big
-        box = [box[0] + pad_x, box[1] + pad_y, box[2] + pad_x, box[3] + pad_y]
+    # native fused crop+zero-pad+bilinear-resize (native/loader.cc) replaces
+    # the reference's allocate-padded-canvas -> slice -> cv2.resize sequence
+    # (utils.py:414-431); sampling is identical (half-pixel bilinear over a
+    # zero-padded plane)
+    if (box[3] - box[1]) == (box[2] - box[0]) and (box[3] - box[1]) > 0:
+        from blindshadowremoval_tpu.utils.native import crop_resize
 
-    img = img[box[1]:box[3], box[0]:box[2], :]
-    if img.shape[0] == img.shape[1] and img.shape[0] > 0:
-        img = _resize_bilinear_np(img.astype(np.float32), fsize)
+        img = crop_resize(img.astype(np.float32),
+                          (box[0], box[1], box[2], box[3]), fsize)
     else:
         img = np.zeros((fsize, fsize, img.shape[2]), np.float32)
 
