@@ -30,6 +30,17 @@ def _resize_bilinear_np(img: np.ndarray, size: int) -> np.ndarray:
         )
 
 
+def pts_load(path: str) -> np.ndarray:
+    """Load a `.pts` landmark annotation file (utils.py:340-354): points
+    listed between '{' and '}' lines, one x y pair per line."""
+    with open(path) as fh:
+        rows = [r.strip() for r in fh]
+    head = rows.index("{") + 1
+    tail = rows.index("}")
+    pts = [tuple(float(v) for v in line.split()) for line in rows[head:tail]]
+    return np.asarray(pts, dtype=np.float32)
+
+
 def rotate_image_and_landmarks(img: np.ndarray, lm: np.ndarray, deg: float):
     """Rotate image CCW by `deg` about its center, with matching landmarks.
 

@@ -54,3 +54,12 @@ def test_cli_parser_covers_all_modes():
     ):
         args = ap.parse_args(argv)
         assert args.cmd == argv[0]
+
+
+def test_pts_load(tmp_path):
+    from blindshadowremoval_tpu.geometry.crop import pts_load
+
+    p = tmp_path / "a.pts"
+    p.write_text("version: 1\nn_points: 3\n{\n1.5 2.5\n3 4\n5.5 6\n}\n")
+    pts = pts_load(str(p))
+    np.testing.assert_allclose(pts, [[1.5, 2.5], [3, 4], [5.5, 6]])

@@ -1,0 +1,102 @@
+"""Numerical parity vs TensorFlow — the reference's own substrate.
+
+These tests run the actual TF ops the reference calls (tf.image.ssim, psnr,
+rgb_to_grayscale, adjust_saturation, resize, image_gradients, dilation2d)
+against our JAX implementations on shared inputs.  TF import is slow (~25 s),
+so everything shares one module-scoped fixture; deselect with
+`-k 'not tf_parity'` for quick runs.
+"""
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+import jax.numpy as jnp  # noqa: E402
+
+from blindshadowremoval_tpu.geometry.warp import resize_bilinear  # noqa: E402
+from blindshadowremoval_tpu.ops.filters import dilate  # noqa: E402
+from blindshadowremoval_tpu.ops.image import (  # noqa: E402
+    adjust_saturation,
+    image_gradients,
+    psnr,
+    resize_nearest,
+    rgb_to_grayscale,
+    rgb_to_hsv,
+    ssim,
+)
+
+
+@pytest.fixture(scope="module")
+def imgs():
+    rng = np.random.default_rng(7)
+    a = rng.uniform(size=(2, 64, 64, 3)).astype(np.float32)
+    b = np.clip(a + rng.normal(scale=0.08, size=a.shape), 0, 1).astype(np.float32)
+    return a, b
+
+
+def test_tf_parity_grayscale(imgs):
+    a, _ = imgs
+    ref = tf.image.rgb_to_grayscale(a).numpy()
+    ours = np.asarray(rgb_to_grayscale(jnp.asarray(a)))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_tf_parity_psnr_ssim(imgs):
+    a, b = imgs
+    ref_psnr = tf.image.psnr(a, b, max_val=1.0).numpy()
+    ref_ssim = tf.image.ssim(a, b, max_val=1.0).numpy()
+    np.testing.assert_allclose(np.asarray(psnr(jnp.asarray(a), jnp.asarray(b))),
+                               ref_psnr, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ssim(jnp.asarray(a), jnp.asarray(b))),
+                               ref_ssim, atol=2e-4)
+
+
+def test_tf_parity_hsv(imgs):
+    a, _ = imgs
+    ref = tf.image.rgb_to_hsv(a).numpy()
+    ours = np.asarray(rgb_to_hsv(jnp.asarray(a)))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_tf_parity_adjust_saturation(imgs):
+    a, _ = imgs
+    for factor in (0.5, 1.7):
+        ref = tf.image.adjust_saturation(a, factor).numpy()
+        ours = np.asarray(adjust_saturation(jnp.asarray(a), factor))
+        np.testing.assert_allclose(ours, ref, atol=2e-3)
+
+
+def test_tf_parity_resize_bilinear(imgs):
+    a, _ = imgs
+    for size in ((32, 32), (128, 128), (20, 50)):
+        ref = tf.image.resize(a, size).numpy()
+        ours = np.asarray(resize_bilinear(jnp.asarray(a), size))
+        np.testing.assert_allclose(ours, ref, atol=1e-4,
+                                   err_msg=f"size={size}")
+
+
+def test_tf_parity_resize_nearest(imgs):
+    a, _ = imgs
+    for size in ((32, 32), (90, 17)):
+        ref = tf.image.resize(a, size, method="nearest").numpy()
+        ours = np.asarray(resize_nearest(jnp.asarray(a), size))
+        np.testing.assert_allclose(ours, ref, atol=0, err_msg=f"size={size}")
+
+
+def test_tf_parity_image_gradients(imgs):
+    a, _ = imgs
+    ref_dy, ref_dx = tf.image.image_gradients(tf.constant(a))
+    dy, dx = image_gradients(jnp.asarray(a))
+    np.testing.assert_allclose(np.asarray(dy), ref_dy.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dx), ref_dx.numpy(), atol=1e-6)
+
+
+def test_tf_parity_dilation(imgs):
+    a, _ = imgs
+    x = a[..., :1]
+    kernel = tf.ones((5, 5, 1))
+    ref = tf.nn.dilation2d(x, kernel, [1, 1, 1, 1], "SAME", "NHWC",
+                           [1, 1, 1, 1]).numpy() - 1.0
+    ours = np.asarray(dilate(jnp.asarray(x), 5))
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
