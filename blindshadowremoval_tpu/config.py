@@ -51,6 +51,7 @@ class Config:
     mesh_shape: Sequence[int] = (1, 1)     # (data, frame) mesh axes
     mesh_axis_names: Sequence[str] = ("data", "frame")
     compute_dtype: str = "bfloat16"        # activations/matmul dtype on TPU
+    remat: bool = False                    # rematerialize bottleneck blocks in training
     param_dtype: str = "float32"
     checkpoint_dir: str = "./checkpoints"
     mode: str = "in_the_wild"

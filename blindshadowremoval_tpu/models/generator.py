@@ -40,6 +40,7 @@ class GSCGenerator(nn.Module):
     """Two-stage grayscale-then-RGB deshadowing generator."""
 
     n_res: int = 6
+    remat: bool = False   # rematerialize ResBottlenecks (trade FLOPs for HBM)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -58,8 +59,10 @@ class GSCGenerator(nn.Module):
         # ---- bottleneck with UV conditioning ------------------------
         uv_small = resize_bilinear(uv.astype(self.dtype), (h, w))
         x = jnp.concatenate([x, uv_small], axis=3)
+        res_cls = (nn.remat(ResBottleneck, static_argnums=(2,))
+                   if self.remat else ResBottleneck)
         for i in range(self.n_res // 2):
-            x = ResBottleneck(N_CH[5] + 1, dtype=self.dtype,
+            x = res_cls(N_CH[5] + 1, dtype=self.dtype,
                               name=f"res{i}")(x, train)
 
         # ---- grayscale head -----------------------------------------
@@ -87,7 +90,7 @@ class GSCGenerator(nn.Module):
         x_hole = x * (1.0 - bmask)
         x = jnp.concatenate([x_hole, bmask, uv_small], axis=3)
         for i in range(self.n_res // 2, self.n_res):
-            x = ResBottleneck(N_CH[5] + 1, dtype=self.dtype,
+            x = res_cls(N_CH[5] + 1, dtype=self.dtype,
                               name=f"res{i}")(x, train)
 
         f = ConvTBlock(N_CH[4], dtype=self.dtype, name="clr_up1")(x, train)

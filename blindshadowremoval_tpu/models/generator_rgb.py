@@ -23,6 +23,7 @@ class RGBGenerator(nn.Module):
     """Single-branch direct-RGB deshadowing generator (model_RGB.py)."""
 
     n_res: int = 6
+    remat: bool = False   # rematerialize ResBottlenecks (trade FLOPs for HBM)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -39,8 +40,10 @@ class RGBGenerator(nn.Module):
 
         uv_small = resize_bilinear(uv.astype(self.dtype), (h, w))
         x = jnp.concatenate([x, uv_small], axis=3)
+        res_cls = (nn.remat(ResBottleneck, static_argnums=(2,))
+                   if self.remat else ResBottleneck)
         for i in range(self.n_res // 2):
-            x = ResBottleneck(N_CH[5] * 2 + 1, dtype=self.dtype,
+            x = res_cls(N_CH[5] * 2 + 1, dtype=self.dtype,
                               name=f"res{i}")(x, train)
 
         y = ConvTBlock(N_CH[3] * 2, dtype=self.dtype, name="up1")(x, train)

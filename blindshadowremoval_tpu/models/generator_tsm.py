@@ -75,6 +75,7 @@ class TSMGenerator(nn.Module):
 
     n_res: int = 6
     axis_name: Optional[str] = None
+    remat: bool = False   # rematerialize ResBottlenecks (trade FLOPs for HBM)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -92,8 +93,10 @@ class TSMGenerator(nn.Module):
         share_layer = ShareLayer(axis_name=self.axis_name, name="info_share")
         x_share = share_layer(x, reg, frame, share)
         x = jnp.concatenate([x, x_share, uv_small], axis=3)
+        res_cls = (nn.remat(ResBottleneck, static_argnums=(2,))
+                   if self.remat else ResBottleneck)
         for i in range(self.n_res // 2):
-            x = ResBottleneck(N_CH[5] + 1, dtype=self.dtype,
+            x = res_cls(N_CH[5] + 1, dtype=self.dtype,
                               name=f"res{i}")(x, train)
 
         y = ConvTBlock(N_CH[3], dtype=self.dtype, name="up1")(x, train)
@@ -119,7 +122,7 @@ class TSMGenerator(nn.Module):
         x_share = share_layer(x_hole, reg, frame, share)
         x = jnp.concatenate([x_hole, bmask, x_share, uv_small], axis=3)
         for i in range(self.n_res // 2, self.n_res):
-            x = ResBottleneck(N_CH[5] + 1, dtype=self.dtype,
+            x = res_cls(N_CH[5] + 1, dtype=self.dtype,
                               name=f"res{i}")(x, train)
 
         f = ConvTBlock(N_CH[4], dtype=self.dtype, name="clr_up1")(x, train)

@@ -64,10 +64,12 @@ class TrainState(struct.PyTreeNode):
 def build_generator(config: Config, axis_name: Optional[str] = None):
     dtype = jnp.dtype(config.compute_dtype)
     if config.variant == "tsm":
-        return TSMGenerator(n_res=config.n_res, axis_name=axis_name, dtype=dtype)
+        return TSMGenerator(n_res=config.n_res, axis_name=axis_name,
+                            remat=config.remat, dtype=dtype)
     if config.variant == "rgb":
-        return RGBGenerator(n_res=config.n_res, dtype=dtype)
-    return GSCGenerator(n_res=config.n_res, dtype=dtype)
+        return RGBGenerator(n_res=config.n_res, remat=config.remat,
+                            dtype=dtype)
+    return GSCGenerator(n_res=config.n_res, remat=config.remat, dtype=dtype)
 
 
 @dataclasses.dataclass(eq=False)   # identity hash: instance is a static jit arg
