@@ -100,3 +100,96 @@ def test_tf_parity_dilation(imgs):
                            [1, 1, 1, 1]).numpy() - 1.0
     ours = np.asarray(dilate(jnp.asarray(x), 5))
     np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+# ---------------------------------------------------------------- losses
+# The reference's loss formulas re-expressed in TF in-line (utils.py:22-125,
+# train_test_GSC.py:107-115) vs our jnp implementations on shared tensors.
+
+
+def test_tf_parity_masked_l1(imgs):
+    from blindshadowremoval_tpu.train.losses import l1_loss
+
+    a, b = imgs
+    mask = (a > 0.5).astype(np.float32)
+    ref = (tf.reduce_sum(tf.abs(a - b) * mask)
+           / (tf.reduce_sum(mask) + 1e-6) / a.shape[3]).numpy()
+    ours = float(l1_loss(jnp.asarray(a), jnp.asarray(b), jnp.asarray(mask)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def test_tf_parity_l1_yuv(imgs):
+    from blindshadowremoval_tpu.train.losses import l1_loss_yuv
+
+    a, b = imgs
+    mask = (a[..., :1] > 0.5).astype(np.float32)
+
+    def yuv(x):
+        r, g, bl = tf.split(x, 3, axis=3)
+        y = r * .299 + g * .587 + bl * .114
+        u = r * -.168736 + g * -.331264 + bl * .5
+        v = r * .5 + g * -.418688 + bl * -.081312
+        return y, u, v
+
+    ya, ua, va = yuv(tf.constant(a))
+    yb, ub, vb = yuv(tf.constant(b))
+    terms = []
+    for pa, pb in ((ya, yb), (ua, ub), (va, vb)):
+        terms.append(tf.reduce_sum(tf.abs(pa - pb) * mask)
+                     / (tf.reduce_sum(mask) + 1e-6))
+    ref = (sum(terms) / 2).numpy()
+    ours = float(l1_loss_yuv(jnp.asarray(a), jnp.asarray(b),
+                             jnp.asarray(mask)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
+def test_tf_parity_l1_hsv(imgs):
+    import math
+
+    from blindshadowremoval_tpu.train.losses import l1_loss_hsv
+
+    a, b = imgs
+    pi = math.pi
+    ha = tf.image.rgb_to_hsv(tf.reverse(tf.constant(a), axis=[-1]))
+    hb = tf.image.rgb_to_hsv(tf.reverse(tf.constant(b), axis=[-1]))
+    h_loss = tf.reduce_mean(tf.abs(tf.cos(2 * pi * ha[..., 0])
+                                   - tf.cos(2 * pi * hb[..., 0])))
+    v_loss = tf.reduce_mean(tf.abs(ha[..., 2] - hb[..., 2]))
+    ref = ((h_loss + v_loss) / 2).numpy()
+    ours = float(l1_loss_hsv(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_tf_parity_find_edge(imgs):
+    from blindshadowremoval_tpu.ops.filters import find_edge
+
+    a, _ = imgs
+    mask = tf.constant(np.repeat(
+        (a[..., :1] > 0.4).astype(np.float32), 3, axis=3))
+    mask = tf.nn.avg_pool2d(mask, 5, 1, "SAME")   # soften
+    edge = (tf.cast(tf.reduce_mean(mask, 3, keepdims=True) > .01, tf.float32)
+            - tf.cast(tf.reduce_min(mask, 3, keepdims=True) > .3, tf.float32))
+    kernel = tf.ones((5, 5, 1))
+    for _ in range(2):
+        edge = tf.nn.dilation2d(edge, kernel, [1, 1, 1, 1], "SAME", "NHWC",
+                                [1, 1, 1, 1]) - 1.0
+    ref = tf.cast(edge > 0., tf.float32).numpy()
+    ours = np.asarray(find_edge(jnp.asarray(mask.numpy())))
+    np.testing.assert_allclose(ours, ref, atol=0)
+
+
+def test_tf_parity_grad_loss(imgs):
+    from blindshadowremoval_tpu.train.losses import get_img_grad
+
+    a, _ = imgs
+    for scale in (1, 2, 4):
+        x = tf.constant(a)
+        if scale > 1:
+            x = tf.image.resize(x, [64 // scale, 64 // scale])
+        gy, gx = tf.image.image_gradients(x)
+        g = (gx + gy) * 5
+        if scale > 1:
+            g = tf.image.resize(g, [64, 64])
+        ours = np.asarray(get_img_grad(jnp.asarray(a), scale))
+        np.testing.assert_allclose(ours, g.numpy(), atol=1e-4,
+                                   err_msg=f"scale={scale}")
