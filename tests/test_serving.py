@@ -1,0 +1,55 @@
+"""Serving engine + distributed helpers."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from blindshadowremoval_tpu.config import get_config
+
+SAMPLE = "/root/reference/sample_imgs/02165"
+S = 64
+
+
+@pytest.mark.skipif(not os.path.isdir(SAMPLE), reason="sample fixture absent")
+def test_serving_end_to_end():
+    from PIL import Image
+
+    from blindshadowremoval_tpu.eval.serving import ShadowRemovalService
+    from blindshadowremoval_tpu.train.trainer import build_generator
+
+    cfg = get_config("in_the_wild", img_size=S, compute_dtype="float32")
+    gen = build_generator(cfg)
+    z = np.zeros((1, S, S, 3), np.float32)
+    zr = np.zeros((1, S, S, 6), np.float32)
+    variables = gen.init(jax.random.PRNGKey(0), z, z, zr)
+
+    svc = ShadowRemovalService(cfg, variables, batch_size=4)
+    img = np.asarray(Image.open(os.path.join(SAMPLE, "02165.png"))
+                     .convert("RGB"), np.float32) / 255.0
+    lm = np.load(os.path.join(SAMPLE, "02165.npy"))
+
+    # 5 requests through a batch-4 service: one full batch + padded tail
+    out = svc.remove_shadows([img] * 5, [lm] * 5)
+    assert len(out) == 5
+    for r in out:
+        assert r["pred"].shape == (S, S, 3)
+        assert r["mask_pred"].shape == (S, S, 1)
+        assert np.isfinite(r["pred"]).all()
+    # identical inputs -> identical outputs regardless of batch position
+    np.testing.assert_allclose(out[0]["pred"], out[4]["pred"], atol=1e-5)
+
+
+def test_host_local_batch_single_process():
+    from blindshadowremoval_tpu.parallel.distributed import (
+        global_mesh,
+        host_local_batch,
+        initialize,
+    )
+
+    initialize()   # no-op single process
+    local, offset = host_local_batch(16)
+    assert local == 16 and offset == 0
+    mesh = global_mesh((8, 1))
+    assert mesh.shape["data"] == 8
