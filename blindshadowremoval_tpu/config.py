@@ -41,6 +41,10 @@ class Config:
     learning_rate: float = 1e-4        # train_test_GSC.py:47
     img_log_freq: int = 100            # IMG_LOG_FR
     txt_log_freq: int = 1000           # TXT_LOG_FR
+    log_every_steps: int = 1           # loss-fetch cadence; raise on TPU so
+                                       # the device pipeline is not synced
+                                       # every step (reference prints per
+                                       # step, utils.py:152-171)
 
     # --- model ----------------------------------------------------------
     n_layer_d: int = 4                 # discriminator depth (train_test_GSC.py:53)

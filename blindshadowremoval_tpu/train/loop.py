@@ -50,9 +50,13 @@ def fit(config: Config, dataset_train, dataset_val=None,
             key, sub = jax.random.split(key)
             state, losses, figs = trainer.train_step(state, batch, sub,
                                                      train=True)
-            log.display(losses, epoch, step, True, config.steps_per_epoch)
-            log.save_figures([figs["img"], figs["gt"], figs["pred"],
-                              figs["gs"], figs["mask_edge"]], True)
+            # fetching losses synchronizes the device; throttle on TPU via
+            # config.log_every_steps (figure dumps keep their own schedule)
+            if step % config.log_every_steps == 0:
+                log.display(losses, epoch, step, True,
+                            config.steps_per_epoch)
+                log.save_figures([figs["img"], figs["gt"], figs["pred"],
+                                  figs["gs"], figs["mask_edge"]], True)
 
         mgr.save(epoch + 1, state)
         if feed_val is not None:
