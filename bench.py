@@ -31,8 +31,9 @@ import time
 import numpy as np
 
 BASELINE_FACES_PER_SEC = 500.0
-BATCH = 256
-ITERS = 20
+# batch sweep on v5e (32..512): 128 is the throughput sweet spot
+BATCH = 128
+ITERS = 40
 
 
 def main() -> None:

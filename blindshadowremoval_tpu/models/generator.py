@@ -71,10 +71,14 @@ class GSCGenerator(nn.Module):
             jnp.concatenate([y, x3], axis=3), train)
         y = ConvTBlock(N_CH[1], dtype=self.dtype, name="up3")(
             jnp.concatenate([y, x2], axis=3), train)
-        mask = jnp.tanh(ConvBlock(1, ksize=7, norm=None, act=False,
-                                  dtype=self.dtype, name="conv2")(y, train))
-        con = ConvBlock(1, ksize=7, norm=None, act=False,
-                        dtype=self.dtype, name="conv3")(y, train)
+        # conv2 (tanh gain) and conv3 (offset) fused into one 2-channel head:
+        # a 7x7 conv with 1 output channel costs the same as with 2 on the
+        # MXU, so the merge halves the most expensive op in the model (the
+        # TF bridge maps generator/conv{2,3} into slices of this kernel).
+        head = ConvBlock(2, ksize=7, norm=None, act=False,
+                         dtype=self.dtype, name="head")(y, train)
+        mask = jnp.tanh(head[..., 0:1])
+        con = head[..., 1:2]
 
         gray_in = rgb_to_grayscale(inputs.astype(jnp.float32)).astype(self.dtype)
         gs = gray_in * (1.0 + mask) + con

@@ -104,10 +104,11 @@ class TSMGenerator(nn.Module):
             jnp.concatenate([y, x3], axis=3), train)
         y = ConvTBlock(N_CH[1], dtype=self.dtype, name="up3")(
             jnp.concatenate([y, x2], axis=3), train)
-        mask = jnp.tanh(ConvBlock(1, ksize=7, norm=None, act=False,
-                                  dtype=self.dtype, name="conv2")(y, train))
-        con = ConvBlock(1, ksize=7, norm=None, act=False,
-                        dtype=self.dtype, name="conv3")(y, train)
+        # conv2/conv3 heads fused into one 2-channel conv (see generator.py)
+        head = ConvBlock(2, ksize=7, norm=None, act=False,
+                         dtype=self.dtype, name="head")(y, train)
+        mask = jnp.tanh(head[..., 0:1])
+        con = head[..., 1:2]
 
         gray_in = rgb_to_grayscale(inputs.astype(jnp.float32)).astype(self.dtype)
         gs = gray_in * (1.0 + mask) + con

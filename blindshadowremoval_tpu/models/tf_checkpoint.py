@@ -22,6 +22,13 @@ Keras Conv2DTranspose kernels are [kh, kw, OUT, IN] and are applied as the
 gradient of a forward conv, whereas Flax's ConvTranspose expects [kh, kw,
 IN, OUT] applied as a fractionally-strided correlation — mapping requires a
 last-two-axes swap plus a spatial flip.
+
+Mapping entries are (flax_path, tf_name, transform[, dst_slice]).  The
+optional dst_slice=(start, stop) lands the TF tensor in a channel slice of
+the Flax leaf: the generator's TF conv2/conv3 heads (two 7x7 convs to 1
+channel each, model.py:243-251) are fused into one 2-channel "head" conv
+here — a 1-output-channel 7x7 conv costs the same as a 2-channel one on the
+MXU, so the fusion halves the most expensive op in the model.
 """
 
 from __future__ import annotations
@@ -120,9 +127,13 @@ def generator_mapping(n_res: int = 6):
             entries.append(((sub[0], flax_module) + sub[1:], tf_name, tr))
 
     add("conv1", _conv_block_entries("generator/conv1", True))
-    # conv2/conv3 (the tanh-gain and offset heads) have no norm
-    add("conv2", _conv_block_entries("generator/conv2", False))
-    add("conv3", _conv_block_entries("generator/conv3", False))
+    # conv2/conv3 (the tanh-gain and offset heads, no norm) are fused into
+    # the 2-channel "head" conv; each TF variable lands in a channel slice
+    for i, tf_layer in enumerate(("conv2", "conv3")):
+        for leaf in ("kernel", "bias"):
+            entries.append(
+                (("params", "head", "Conv_0", leaf),
+                 f"generator/{tf_layer}/conv/{leaf}", _identity, (i, i + 1)))
     for i in (1, 2, 3):
         add(f"down{i}", _conv_block_entries(f"generator/down{i}", True))
         add(f"up{i}", _conv_block_entries(f"generator/up{i}", True,
@@ -186,12 +197,15 @@ def verify_against_index(ckpt_prefix: str, variables: dict,
 
     missing, mismatch, matched = [], [], 0
     mapped_names = set()
-    for flax_path, tf_name, tr in mapping:
+    for flax_path, tf_name, tr, *rest in mapping:
+        dst = rest[0] if rest else None
         mapped_names.add(tf_name)
         if tf_name not in tf_vars:
             missing.append(tf_name)
             continue
         leaf = np.asarray(_tree_get(variables, flax_path))
+        if dst is not None:
+            leaf = leaf[..., dst[0]:dst[1]]
         probe = tr(np.zeros(tf_vars[tf_name], np.float32))
         if tuple(leaf.shape) != tuple(probe.shape):
             mismatch.append((tf_name, tuple(tf_vars[tf_name]),
@@ -217,7 +231,8 @@ def load_tf_checkpoint(ckpt_prefix: str, variables: dict, mapping) -> dict:
 
     reader = tf.train.load_checkpoint(ckpt_prefix)
     out: dict = {}
-    for flax_path, tf_name, tr in mapping:
+    for flax_path, tf_name, tr, *rest in mapping:
+        dst = rest[0] if rest else None
         try:
             value = reader.get_tensor(tf_name + VAL_SUFFIX)
         except Exception as e:  # stripped blobs
@@ -225,7 +240,16 @@ def load_tf_checkpoint(ckpt_prefix: str, variables: dict, mapping) -> dict:
                 f"cannot read {tf_name!r} from {ckpt_prefix!r} — the "
                 "reference repo ships index files only "
                 "(.MISSING_LARGE_BLOBS); supply a full checkpoint") from e
-        _tree_set(out, flax_path, jnp.asarray(tr(value)))
+        if dst is None:
+            _tree_set(out, flax_path, jnp.asarray(tr(value)))
+            continue
+        # slice destination: accumulate into a buffer seeded from `variables`
+        try:
+            buf = np.asarray(_tree_get(out, flax_path))
+        except KeyError:
+            buf = np.array(_tree_get(variables, flax_path))
+        buf[..., dst[0]:dst[1]] = tr(value)
+        _tree_set(out, flax_path, jnp.asarray(buf))
 
     # functional merge: restored leaves override, everything else kept
     def merge(dst, src):

@@ -47,9 +47,12 @@ def _disc_variables():
 
 def test_mapping_paths_exist_in_flax_tree():
     variables = _gen_variables()
-    for path, tf_name, _ in generator_mapping():
+    for path, tf_name, _, *rest in generator_mapping():
         leaf = _tree_get(variables, path)
         assert leaf is not None, (path, tf_name)
+        if rest:  # sliced destination must fit inside the leaf
+            start, stop = rest[0]
+            assert 0 <= start < stop <= np.asarray(leaf).shape[-1]
 
 
 def test_convt_transform_shape_and_flip():
