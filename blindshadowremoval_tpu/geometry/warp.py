@@ -22,6 +22,24 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=64)
+def _interp_matrix(out_size: int, in_size: int) -> np.ndarray:
+    """[out, in] bilinear interpolation matrix: half-pixel centers, edge
+    clamp, floor/ceil corners — the separable factor of the 2D bilinear
+    kernel, identical numerics to a 4-corner gather + lerp."""
+    pos = (np.arange(out_size, dtype=np.float64) + 0.5) * (
+        in_size / out_size) - 0.5
+    pos = np.clip(pos, 0.0, in_size - 1.0)
+    lo = np.floor(pos).astype(np.int64)
+    hi = np.ceil(pos).astype(np.int64)
+    f = (pos - lo).astype(np.float32)
+    a = np.zeros((out_size, in_size), np.float32)
+    a[np.arange(out_size), lo] += 1.0 - f
+    a[np.arange(out_size), hi] += f
+    return a
 
 
 def resize_bilinear(x: jax.Array, size: tuple[int, int]) -> jax.Array:
@@ -29,8 +47,15 @@ def resize_bilinear(x: jax.Array, size: tuple[int, int]) -> jax.Array:
 
     Works on [..., H, W, C].  The reference resizes with TF2's default
     bilinear everywhere (e.g. model.py:237, warp.py:137); TF does not blur on
-    downsample, unlike `jax.image.resize`, so this is implemented as a direct
-    bilinear resample at half-pixel sample positions with edge clamping.
+    downsample, unlike `jax.image.resize`, so this samples at half-pixel
+    positions with edge clamping.
+
+    TPU-native formulation: axis-aligned bilinear is separable, so the
+    resample is two small matmuls with static interpolation matrices
+    (out = A_h @ x @ A_w^T) instead of a dynamic gather — the gather lowers
+    to slow TPU scatter in the backward pass, while matmul transposes ride
+    the MXU (this sits under the multi-scale gradient loss, so its gradient
+    is on the training hot path).
     """
     *lead, h, w, c = x.shape
     oh, ow = size
@@ -41,15 +66,11 @@ def resize_bilinear(x: jax.Array, size: tuple[int, int]) -> jax.Array:
         b *= d
     xb = x.reshape(b, h, w, c)
 
-    rows = (jnp.arange(oh, dtype=jnp.float32) + 0.5) * (h / oh) - 0.5
-    cols = (jnp.arange(ow, dtype=jnp.float32) + 0.5) * (w / ow) - 0.5
-    rr = jnp.broadcast_to(rows[:, None], (oh, ow)).reshape(-1)
-    cc = jnp.broadcast_to(cols[None, :], (oh, ow)).reshape(-1)
-    rr = jnp.broadcast_to(rr[None], (b, oh * ow))
-    cc = jnp.broadcast_to(cc[None], (b, oh * ow))
-
-    out = _bilinear_gather(xb, rr, cc)
-    return out.reshape(*lead, oh, ow, c)
+    a_h = jnp.asarray(_interp_matrix(oh, h), x.dtype)
+    a_w = jnp.asarray(_interp_matrix(ow, w), x.dtype)
+    y = jnp.einsum("Oh,bhwc->bOwc", a_h, xb)
+    y = jnp.einsum("Pw,bOwc->bOPc", a_w, y)
+    return y.reshape(*lead, oh, ow, c)
 
 
 def _bilinear_gather(x: jax.Array, rows: jax.Array, cols: jax.Array) -> jax.Array:
