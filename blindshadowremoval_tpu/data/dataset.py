@@ -297,7 +297,8 @@ class Dataset:
 
     def _train_iter(self):
         """Infinite shuffled iterator with thread-pool prefetch."""
-        pool = _futures.ThreadPoolExecutor(max_workers=4)
+        n_workers = max(4, (os.cpu_count() or 1))
+        pool = _futures.ThreadPoolExecutor(max_workers=n_workers)
         lock = threading.Lock()
 
         def sample():
@@ -305,7 +306,7 @@ class Dataset:
                 d = self.name_list[int(self.rng.integers(0, len(self.name_list)))]
             return self.parse_train(d)
 
-        pending = [pool.submit(sample) for _ in range(8)]
+        pending = [pool.submit(sample) for _ in range(2 * n_workers)]
         idx = 0
         while True:
             result = pending[idx].result()

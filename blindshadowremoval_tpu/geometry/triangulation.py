@@ -125,6 +125,17 @@ def _with_anchors(lm: np.ndarray) -> np.ndarray:
     return np.concatenate([np.asarray(lm, np.float32), ANCHOR_POINTS], axis=0)
 
 
+def _host_cpu():
+    """CPU jax device for the host-facing map generators below.
+
+    `rasterize_linear` and the blur helpers are jitted so they can also run
+    in-graph, but the generate_* wrappers are called from the data-pipeline
+    host threads — on the default (possibly remote/tunneled TPU) device each
+    call would pay a device round trip and contend with training, so they
+    execute on the host CPU backend."""
+    return jax.local_devices(backend="cpu")[0]
+
+
 def generate_offset_map(source_lm, target_lm, size: int) -> np.ndarray:
     """Offset field warping `target` geometry onto `source` geometry.
 
@@ -138,7 +149,9 @@ def generate_offset_map(source_lm, target_lm, size: int) -> np.ndarray:
     tri = build_triangulation(tgt)
     delta = src - tgt                                    # (P, 2) in (x, y)
     values = np.stack([delta[:, 1], delta[:, 0], np.zeros_like(delta[:, 0])], 1)
-    return np.asarray(rasterize_linear(tri.points, tri.triangles, values, size))
+    with jax.default_device(_host_cpu()):
+        return np.asarray(
+            rasterize_linear(tri.points, tri.triangles, values, size))
 
 
 def generate_uv_map(lm, size: int, uv_table: np.ndarray = UV_TABLE) -> np.ndarray:
@@ -151,7 +164,9 @@ def generate_uv_map(lm, size: int, uv_table: np.ndarray = UV_TABLE) -> np.ndarra
     lm = np.asarray(lm, np.float32)
     tri = build_triangulation(lm)
     values = np.stack([uv_table[:, 1], uv_table[:, 0], uv_table[:, 2]], 1)
-    return np.asarray(rasterize_linear(tri.points, tri.triangles, values, size))
+    with jax.default_device(_host_cpu()):
+        return np.asarray(
+            rasterize_linear(tri.points, tri.triangles, values, size))
 
 
 def generate_face_region(lm, size: int, fold: float = 0.8,
@@ -166,10 +181,12 @@ def generate_face_region(lm, size: int, fold: float = 0.8,
     pts = np.concatenate([lm, forehead_points(lm, fold)], axis=0)
     tri = build_triangulation(pts)
     ones = np.ones((pts.shape[0], 1), np.float32)
-    mask = np.asarray(rasterize_linear(tri.points, tri.triangles, ones, size))
-    mask = (mask > 0).astype(np.float32)
-    if blur:
-        mask = np.asarray(_gauss5(jnp.asarray(mask[None]))[0])
+    with jax.default_device(_host_cpu()):
+        mask = np.asarray(
+            rasterize_linear(tri.points, tri.triangles, ones, size))
+        mask = (mask > 0).astype(np.float32)
+        if blur:
+            mask = np.asarray(_gauss5(jnp.asarray(mask[None]))[0])
     return mask
 
 
@@ -179,9 +196,11 @@ def generate_face_region2(lm, size: int) -> np.ndarray:
     pts = np.concatenate([lm, forehead_points(lm, 0.6)], axis=0)
     tri = build_triangulation(pts)
     ones = np.ones((pts.shape[0], 1), np.float32)
-    mask = np.asarray(rasterize_linear(tri.points, tri.triangles, ones, size))
-    mask = (mask > 0).astype(np.float32)
-    mask = np.asarray(_box45(jnp.asarray(mask[None]))[0])
+    with jax.default_device(_host_cpu()):
+        mask = np.asarray(
+            rasterize_linear(tri.points, tri.triangles, ones, size))
+        mask = (mask > 0).astype(np.float32)
+        mask = np.asarray(_box45(jnp.asarray(mask[None]))[0])
     return mask / (mask.max() + 1e-6)
 
 
