@@ -25,6 +25,20 @@ def _device_batch(batch: dict) -> dict:
     return {k: jnp.asarray(v) for k, v in batch.items()}
 
 
+def _next_batch(feed, batch_size: int) -> dict:
+    """Assemble `batch_size` parsed samples (2 mirrored views each) into one
+    [2*batch_size, ...] batch. The reference trains with batch 1 (one
+    mirrored pair, train_test_GSC.py:43); larger sizes stack pairs."""
+    import numpy as np
+
+    views = [next(feed) for _ in range(batch_size)]
+    if batch_size == 1:
+        return _device_batch(views[0])
+    return {k: jnp.asarray(np.concatenate([np.asarray(v[k]) for v in views],
+                                          axis=0))
+            for k in views[0]}
+
+
 def fit(config: Config, dataset_train, dataset_val=None,
         trainer: Optional[Trainer] = None, seed: int = 0):
     """Run the full training schedule; returns the final TrainState."""
@@ -46,7 +60,7 @@ def fit(config: Config, dataset_train, dataset_val=None,
     for epoch in range(last_epoch, config.max_epoch):
         t0 = time.time()
         for step in range(config.steps_per_epoch):
-            batch = _device_batch(next(feed))
+            batch = _next_batch(feed, config.batch_size)
             key, sub = jax.random.split(key)
             state, losses, figs = trainer.train_step(state, batch, sub,
                                                      train=True)
@@ -61,7 +75,7 @@ def fit(config: Config, dataset_train, dataset_val=None,
         mgr.save(epoch + 1, state)
         if feed_val is not None:
             for step in range(config.steps_per_epoch // 10):
-                batch = _device_batch(next(feed_val))
+                batch = _next_batch(feed_val, config.batch_size)
                 key, sub = jax.random.split(key)
                 _, losses, figs = trainer.train_step(state, batch, sub,
                                                      train=False)

@@ -114,3 +114,31 @@ def test_tsm_variant_train_step(rng):
     _, losses_v, _ = tr.train_step(st, _batch(rng), jax.random.PRNGKey(2),
                                    train=False)
     assert np.isfinite(float(losses_v["recon_c"]))
+
+
+def test_fit_assembles_batches(tmp_path, rng):
+    """fit() stacks config.batch_size parsed samples (2 views each) per step
+    and checkpoints per epoch."""
+    import itertools
+
+    from blindshadowremoval_tpu.train.loop import fit
+
+    cfg = get_config("train", img_size=32, batch_size=2,
+                     compute_dtype="float32", steps_per_epoch=2, max_epoch=1,
+                     checkpoint_dir=str(tmp_path / "ckpt"), img_log_freq=10)
+
+    def samples():
+        while True:
+            b = _batch(rng, b2=2, s=32)
+            yield {k: np.asarray(v) for k, v in b.items()}
+
+    class FakeDataset:
+        def __iter__(self):
+            return samples()
+
+    state = fit(cfg, FakeDataset())
+    assert int(state.step) == cfg.steps_per_epoch
+    # the step consumed 2 samples -> 4 views; BN stats exist and are finite
+    leaves = jax.tree.leaves(state.gen_params)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+    assert (tmp_path / "ckpt").exists()
