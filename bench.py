@@ -18,9 +18,15 @@ Measurement design, calibrated against the axon tunnel's semantics:
   * Inputs are perturbed per scan step and per call; result values are
     checked to change between calls.
 
-Context: per cost analysis the model is memory-bound on v5e
-(18.2 GFLOP but ~0.45 GB HBM traffic per face -> ~550 us/face roofline
-unfused); measured ~0.48 ms/face is at that roofline.
+Optimization history (all measured on this harness, batch 128):
+  * unfused baseline               ~0.48 ms/face  (2187 faces/s at batch 256)
+  * + fused 2-channel output head  ~0.35 ms/face  (a 7x7 conv to 1 channel
+    costs the same as to 2 on the MXU; the model had two)
+  * + matmul-form bilinear resize  ~0.27 ms/face  (3647 faces/s)
+Remaining profile: ~89 us res/NonLocal stack (Pallas-fused attention),
+~84 us the fused 7x7 head (XLA's small-output-channel lowering measured
+within 2x of alternatives tried: tap-major GEMM + shift-add 155 us,
+space-to-depth 94 us), ~100 us encoder/decoder convs near fusion limits.
 """
 
 from __future__ import annotations
