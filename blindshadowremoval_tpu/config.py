@@ -56,6 +56,12 @@ class Config:
     mesh_axis_names: Sequence[str] = ("data", "frame")
     compute_dtype: str = "bfloat16"        # activations/matmul dtype on TPU
     remat: bool = False                    # rematerialize bottleneck blocks in training
+    int8_head: bool = False                # serve the 7x7 output head int8
+                                           # (+12% e2e, output parity ~73 dB
+                                           # vs f32; ops/quant.py)
+    device_geometry: bool = False          # rasterize UV/offset/face maps
+                                           # in-graph from landmarks instead
+                                           # of on the host (train pipeline)
     param_dtype: str = "float32"
     checkpoint_dir: str = "./checkpoints"
     mode: str = "in_the_wild"

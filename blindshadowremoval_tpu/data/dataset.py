@@ -85,6 +85,30 @@ def _geometry(lm: np.ndarray, size: int) -> dict:
     }
 
 
+def _geometry_primitives(lm: np.ndarray) -> dict:
+    """Landmarks + Delaunay topologies instead of rasterized maps.
+
+    With `config.device_geometry` the train step rasterizes UV/offset/face
+    maps in-graph (`triangulation.device_geometry_maps`); the host ships
+    only these tiny arrays (qhull over ≤85 points is microseconds vs tens
+    of milliseconds of host rasterization per view)."""
+    from blindshadowremoval_tpu.geometry.landmarks import forehead_points
+    from blindshadowremoval_tpu.geometry.triangulation import (
+        _with_anchors,
+        build_triangulation,
+    )
+
+    lm = np.asarray(lm, np.float32)
+    fp = np.concatenate([lm, forehead_points(lm, 0.8)], axis=0)
+    return {
+        "lm": lm,
+        "face_pts": fp.astype(np.float32),
+        "uv_tris": build_triangulation(lm).triangles,
+        "face_tris": build_triangulation(fp).triangles,
+        "reg_tris": build_triangulation(_with_anchors(lm)).triangles,
+    }
+
+
 def pack_views(view: dict, layout=TEST_PACK) -> np.ndarray:
     """Dict -> channel-packed array (the reference's tensor layout)."""
     return np.concatenate([view[k][..., :c] for k, c in layout], axis=-1)
@@ -154,14 +178,19 @@ class Dataset:
             gt0, np.load(lm_path), s, aug=True, rng=self.rng)
         gt, img_dark, mask, _, face = shadow_synthesis_host(
             gt, lm, 0.0, mask_dir=cfg.shadow_mask_dir or None, rng=self.rng)
-        g = _geometry(lm, s)
+        if getattr(cfg, "device_geometry", False):
+            g = _geometry_primitives(lm)
+            gm = _geometry_primitives(lm_mirror)
+        else:
+            g = _geometry(lm, s)
+            gm = _geometry(lm_mirror, s)
 
-        gm = _geometry(lm_mirror, s)
         view0 = {"img_dark": img_dark, "gt": gt, "mask": mask[..., :1],
                  "face": face[..., :1], **g}
         view1 = {"img_dark": img_dark[:, ::-1], "gt": gt[:, ::-1],
                  "mask": mask[:, ::-1, :1], "face": face[:, ::-1, :1], **gm}
-        return {k: np.stack([view0[k], view1[k]]).astype(np.float32)
+        return {k: np.stack([view0[k], view1[k]]).astype(
+                    np.int32 if k.endswith("_tris") else np.float32)
                 for k in view0}
 
     def _test_view(self, lm_path: str, gt: Optional[np.ndarray],

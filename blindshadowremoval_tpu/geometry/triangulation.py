@@ -204,6 +204,72 @@ def generate_face_region2(lm, size: int) -> np.ndarray:
     return mask / (mask.max() + 1e-6)
 
 
+@functools.lru_cache(maxsize=1)
+def _reg_in_static() -> tuple[np.ndarray, np.ndarray]:
+    """Canonical-target geometry for reg_in maps: LM_REF+anchors points and
+    their (static) Delaunay topology."""
+    from blindshadowremoval_tpu.geometry.landmarks import LM_REF
+
+    pts = _with_anchors(LM_REF)
+    return pts, build_triangulation(pts).triangles
+
+
+_UV_VALUES = np.stack(
+    [UV_TABLE[:, 1], UV_TABLE[:, 0], UV_TABLE[:, 2]], 1).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def device_geometry_maps(lm: jax.Array, face_pts: jax.Array,
+                         uv_tris: jax.Array, face_tris: jax.Array,
+                         reg_tris: jax.Array, size: int) -> dict:
+    """All per-view geometry maps rasterized in-graph (batched).
+
+    The TPU-native alternative to calling the host generate_* wrappers per
+    sample: the data pipeline ships only landmarks and Delaunay topologies
+    (microseconds of qhull on ≤85 points) and the maps fuse into the train
+    step.  Inputs: lm [B,68,2] normalized, face_pts [B,85,2] (lm + forehead
+    reflection), uv_tris/face_tris/reg_tris [B,T,3] int32 (-1 padded;
+    reg_tris triangulates lm+anchors).  Returns {"uv" [B,S,S,3],
+    "reg" [B,S,S,6] (reg_in ∥ reg_out), "face" [B,S,S,1]} — numerically
+    identical to generate_uv_map / generate_offset_map / generate_face_region.
+    """
+    b = lm.shape[0]
+    ref_pts_np, ref_tris_np = _reg_in_static()
+    ref_pts = jnp.asarray(ref_pts_np)
+    ref_tris = jnp.asarray(ref_tris_np)
+    anchors = jnp.broadcast_to(jnp.asarray(ANCHOR_POINTS),
+                               (b,) + ANCHOR_POINTS.shape)
+    lm_anch = jnp.concatenate([lm, anchors], axis=1)          # (B, 84, 2)
+
+    def stack_vals(delta):
+        zero = jnp.zeros_like(delta[..., :1])
+        return jnp.concatenate(
+            [delta[..., 1:2], delta[..., 0:1], zero], axis=-1)
+
+    rast = jax.vmap(
+        functools.partial(rasterize_linear, size=size),
+        in_axes=(0, 0, 0))
+
+    uv_vals = jnp.broadcast_to(jnp.asarray(_UV_VALUES),
+                               (b,) + _UV_VALUES.shape)
+    uv = rast(lm, uv_tris, uv_vals)
+
+    # reg_in: target = canonical (static topology), values = lm - ref
+    ref_b = jnp.broadcast_to(ref_pts, (b,) + ref_pts.shape)
+    reg_in = rast(ref_b, jnp.broadcast_to(ref_tris, (b,) + ref_tris.shape),
+                  stack_vals(lm_anch - ref_pts))
+    # reg_out: target = per-sample landmarks, values = ref - lm
+    reg_out = rast(lm_anch, reg_tris, stack_vals(ref_pts - lm_anch))
+
+    ones = jnp.ones((b, face_pts.shape[1], 1), jnp.float32)
+    face = rast(face_pts, face_tris, ones)
+    face = _gauss5((face > 0).astype(jnp.float32))
+
+    return {"uv": uv,
+            "reg": jnp.concatenate([reg_in, reg_out], axis=-1),
+            "face": face}
+
+
 @jax.jit
 def _gauss5(x: jax.Array) -> jax.Array:
     """5x5 Gaussian blur with OpenCV's sigma-from-ksize convention (sigma=1.1)."""

@@ -28,6 +28,29 @@ LEAKY_SLOPE = 0.3
 _KERNEL_INIT = nn.initializers.glorot_uniform()
 
 
+class _Int8Conv(nn.Module):
+    """Conv with nn.Conv's exact parameter tree, computed via int8 MXU.
+
+    Used for the generator's output head, where int8 measured 2x faster
+    than bf16 (small output channels waste MXU lanes; see ops/quant.py).
+    Weights stay float in the checkpoint and are quantized per call."""
+
+    features: int
+    ksize: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from blindshadowremoval_tpu.ops.quant import int8_conv
+
+        kernel = self.param(
+            "kernel", _KERNEL_INIT,
+            (self.ksize, self.ksize, x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        return int8_conv(x, kernel, bias, stride=self.stride)
+
+
 class ConvBlock(nn.Module):
     """Conv + optional BatchNorm/SpectralNorm + optional LeakyReLU + Dropout.
 
@@ -40,17 +63,27 @@ class ConvBlock(nn.Module):
     norm: Optional[str] = "batch"
     act: bool = True
     dropout: bool = False
+    quant_int8: bool = False   # serve this conv int8 (see ops/quant.py)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        conv = nn.Conv(self.features, (self.ksize, self.ksize),
-                       strides=(self.stride, self.stride), padding="SAME",
-                       kernel_init=_KERNEL_INIT, dtype=self.dtype)
-        if self.norm == "spec":
-            x = nn.SpectralNorm(conv)(x, update_stats=train)
+        if self.quant_int8:
+            # identical parameter tree to nn.Conv (Conv_0/{kernel,bias}) so
+            # checkpoints interchange between the bf16 and int8 paths
+            x = _Int8Conv(self.features, self.ksize, self.stride,
+                          name="Conv_0")(x).astype(self.dtype)
         else:
-            x = conv(x)
+            conv = nn.Conv(self.features, (self.ksize, self.ksize),
+                           strides=(self.stride, self.stride), padding="SAME",
+                           kernel_init=_KERNEL_INIT, dtype=self.dtype)
+            if self.norm == "spec":
+                return self._norm_act(
+                    nn.SpectralNorm(conv)(x, update_stats=train), train)
+            return self._norm_act(conv(x), train)
+        return self._norm_act(x, train)
+
+    def _norm_act(self, x: jax.Array, train: bool) -> jax.Array:
         if self.norm == "batch":
             x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                              epsilon=1e-3, dtype=self.dtype)(x)

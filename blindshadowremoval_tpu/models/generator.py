@@ -41,6 +41,8 @@ class GSCGenerator(nn.Module):
 
     n_res: int = 6
     remat: bool = False   # rematerialize ResBottlenecks (trade FLOPs for HBM)
+    int8_head: bool = False   # serve the 7x7 output head int8 (2x faster;
+                              # see ops/quant.py for the measurement)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -76,6 +78,7 @@ class GSCGenerator(nn.Module):
         # MXU, so the merge halves the most expensive op in the model (the
         # TF bridge maps generator/conv{2,3} into slices of this kernel).
         head = ConvBlock(2, ksize=7, norm=None, act=False,
+                         quant_int8=self.int8_head,
                          dtype=self.dtype, name="head")(y, train)
         mask = jnp.tanh(head[..., 0:1])
         con = head[..., 1:2]

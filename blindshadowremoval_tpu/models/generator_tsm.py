@@ -76,6 +76,7 @@ class TSMGenerator(nn.Module):
     n_res: int = 6
     axis_name: Optional[str] = None
     remat: bool = False   # rematerialize ResBottlenecks (trade FLOPs for HBM)
+    int8_head: bool = False   # serve the 7x7 output head int8 (see generator.py)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -106,6 +107,7 @@ class TSMGenerator(nn.Module):
             jnp.concatenate([y, x2], axis=3), train)
         # conv2/conv3 heads fused into one 2-channel conv (see generator.py)
         head = ConvBlock(2, ksize=7, norm=None, act=False,
+                         quant_int8=self.int8_head,
                          dtype=self.dtype, name="head")(y, train)
         mask = jnp.tanh(head[..., 0:1])
         con = head[..., 1:2]

@@ -1,0 +1,48 @@
+"""Int8 quantized convolution for serving.
+
+Measured motivation (v5e, batch 128, 256x256): int8 is *slower* than bf16
+for the model's ordinary convs (21 vs 16 us/face for the stride-2 encoder
+conv) but 2x faster for the MXU-pathological small-output-channel head
+(7x7 x 64 -> 2: 44 vs 84 us/face — the single most expensive op in the
+generator).  So quantization here is surgical: only the output head runs
+int8, opt-in (`int8_head=True` on the generators), everything else stays in
+the module dtype.
+
+Scheme: symmetric int8, per-output-channel weight scales, dynamic per-sample
+activation scale (max-abs over H/W/C).  The quantize pass fuses into the
+producer's epilogue under XLA; accumulation is int32 on the MXU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_weight(w: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """[kh,kw,in,out] float kernel -> (int8 kernel, [out] float scales)."""
+    w = w.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0 + 1e-12
+    wq = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return wq, scale
+
+
+def int8_conv(x: jax.Array, w: jax.Array, bias: jax.Array | None = None,
+              stride: int = 1, padding: str = "SAME") -> jax.Array:
+    """Dynamically quantized NHWC conv: int8 x int8 -> int32 on the MXU,
+    dequantized to float32.  `w` is the float kernel (quantized per call —
+    it is tiny next to the activations); `x` any float dtype."""
+    xf = x.astype(jnp.float32)
+    x_scale = jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True) / 127.0 + 1e-12
+    xq = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
+    wq, w_scale = quantize_weight(w)
+
+    dn = jax.lax.conv_dimension_numbers(
+        xq.shape, wq.shape, ("NHWC", "HWIO", "NHWC"))
+    acc = jax.lax.conv_general_dilated(
+        xq, wq, (stride, stride), padding, dimension_numbers=dn,
+        preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * (x_scale * w_scale)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out

@@ -63,13 +63,16 @@ class TrainState(struct.PyTreeNode):
 
 def build_generator(config: Config, axis_name: Optional[str] = None):
     dtype = jnp.dtype(config.compute_dtype)
+    int8_head = getattr(config, "int8_head", False)
     if config.variant == "tsm":
         return TSMGenerator(n_res=config.n_res, axis_name=axis_name,
-                            remat=config.remat, dtype=dtype)
+                            remat=config.remat, int8_head=int8_head,
+                            dtype=dtype)
     if config.variant == "rgb":
         return RGBGenerator(n_res=config.n_res, remat=config.remat,
                             dtype=dtype)
-    return GSCGenerator(n_res=config.n_res, remat=config.remat, dtype=dtype)
+    return GSCGenerator(n_res=config.n_res, remat=config.remat,
+                        int8_head=int8_head, dtype=dtype)
 
 
 @dataclasses.dataclass(eq=False)   # identity hash: instance is a static jit arg
@@ -172,14 +175,26 @@ class Trainer:
         if train:
             gt, img_dark = self._saturation_aug(k_sat, gt, img_dark)
 
+        if "lm" in batch:
+            # device_geometry: rasterize UV/offset/face maps in-graph from
+            # landmarks + host-extracted Delaunay topologies
+            from blindshadowremoval_tpu.geometry.triangulation import (
+                device_geometry_maps,
+            )
+
+            maps = device_geometry_maps(
+                batch["lm"], batch["face_pts"], batch["uv_tris"],
+                batch["face_tris"], batch["reg_tris"], cfg.img_size)
+            uv, reg, face = maps["uv"], maps["reg"], maps["face"]
+        else:
+            uv, reg, face = batch["uv"], batch["reg"], batch["face"]
+
         img, mask_sv, _ = compose_shadow_image(
-            k_comp, batch["mask"], gt, img_dark, batch["face"])
+            k_comp, batch["mask"], gt, img_dark, face)
         if train:
             img = self._mirror_consistency(k_mirror, img)
         else:
             img = gt                           # val pass (train_test_GSC.py:252)
-
-        uv, reg = batch["uv"], batch["reg"]
         mask_bi = (mask_sv > 0.01).astype(jnp.float32)
         mask_edge = find_edge(mask_sv)
         gray_gt = rgb_to_grayscale(gt)
