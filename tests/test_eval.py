@@ -115,6 +115,15 @@ def test_sfw_video_schedule_and_eval(tmp_path):
     assert Dataset.video_frame_schedule(1)[:3] == [1, 3, 5]
     assert Dataset.video_frame_schedule(10)[-1] == 2
     assert Dataset.video_frame_schedule(101)[1] == 100
+    # every branch of the reference's frame-offset table (dataset.py:808-867)
+    assert Dataset.video_frame_schedule(1) == [1, 3, 5, 7, 9, 11, 13, 15, 17, 2]
+    assert Dataset.video_frame_schedule(3) == [3, 4, 6, 8, 10, 12, 14, 16, 18, 1]
+    assert Dataset.video_frame_schedule(5) == [5, 6, 8, 10, 12, 14, 16, 18, 3, 1]
+    assert Dataset.video_frame_schedule(7) == [7, 8, 10, 12, 14, 16, 18, 5, 3, 1]
+    assert Dataset.video_frame_schedule(50) == [50, 51, 53, 55, 57, 59,
+                                                48, 46, 44, 42]
+    assert Dataset.video_frame_schedule(101) == [101, 100, 98, 96, 94, 92,
+                                                 90, 99, 97, 95]
 
     pattern = _make_sfw_fixture(tmp_path)
     cfg = _small_config(tmp_path / "ckpt", "sfw_video",
