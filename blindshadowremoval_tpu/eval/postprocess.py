@@ -154,7 +154,9 @@ def ucb_postprocess(
 
     # --- connected components (device kernel) (:585-611) --------------
     labels = label_components(jnp.asarray(detected[..., 0]))
-    kept = np.asarray(filter_components(
+    # np.array (not asarray): device arrays view as read-only, and the nose
+    # veto below writes into `kept`
+    kept = np.array(filter_components(
         jnp.asarray(detected[..., 0]), labels,
         jnp.asarray(p.min_frac_of_max),
         veto_region=jnp.asarray(hair_region[..., 0]),

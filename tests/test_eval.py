@@ -198,3 +198,30 @@ def test_ucb_eval(tmp_path):
 def test_ucb_gt_path():
     assert Dataset._ucb_gt_path("UCB/train/input/9156/9156-004.npy") == \
         "UCB/train/gt/9156/9156-004.png"
+
+
+def test_ucb_postprocess_nose_veto_writes(rng):
+    """Regression: the nose veto writes into the component-filtered mask,
+    which must be a writable copy of the device array (it crashed read-only
+    when the veto's shadow-fraction band was hit on real data)."""
+    from blindshadowremoval_tpu.eval.postprocess import (
+        PostprocessParams,
+        ucb_postprocess,
+    )
+
+    s = 64
+    mp = np.zeros((s, s, 3), np.float32)
+    mp[8:40, 8:40] = 0.5                       # one strong shadow blob
+    img = np.full((s, s, 3), 0.5, np.float32)
+    ones = np.ones((s, s, 3), np.float32)
+    zeros = np.zeros((s, s, 3), np.float32)
+    nose = np.zeros((s, s, 3), np.float32)
+    nose[35:45, 30:40] = 1.0                   # nose half inside the blob
+    # wide band so the 0.5 shadow fraction hits the veto branch
+    params = PostprocessParams(nose_frac_bands=((0.1, 0.9),))
+    detected, _ = ucb_postprocess(
+        mp, img, ones, ones, zeros, nose, zeros, zeros, zeros, params)
+    assert detected.shape == (s, s, 3)
+    # the veto zeroed the rows below mid-nose inside the blob
+    assert detected[39, 30:40].sum() == 0.0
+    assert detected[20, 30:40].sum() > 0.0
