@@ -55,6 +55,10 @@ class Config:
     mesh_shape: Sequence[int] = (1, 1)     # (data, frame) mesh axes
     mesh_axis_names: Sequence[str] = ("data", "frame")
     compute_dtype: str = "bfloat16"        # activations/matmul dtype on TPU
+    vgg_dtype: str = "float32"             # perceptual-backbone dtype; keep
+                                           # f32 by default so the loss stack
+                                           # matches the TF-parity-validated
+                                           # numerics (bf16 = small speedup)
     remat: bool = False                    # rematerialize bottleneck blocks in training
     int8_head: bool = False                # serve the 7x7 output head int8
                                            # (+12% e2e, output parity ~73 dB

@@ -130,6 +130,7 @@ class Dataset:
         self.config = config
         self.mode = mode
         self.dset = dset
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         if mode == "train":
             dirs = config.data_dirs
@@ -164,20 +165,25 @@ class Dataset:
         return samples
 
     # ----------------------------------------------------------- parsers
-    def parse_train(self, identity_dir: str) -> dict:
+    def parse_train(self, identity_dir: str,
+                    rng: Optional[np.random.Generator] = None) -> dict:
         """One training sample: random frame + mirrored twin
-        (dataset.py:75-109).  Returns a dict of [2,S,S,C] arrays."""
+        (dataset.py:75-109).  Returns a dict of [2,S,S,C] arrays.
+
+        `rng` lets each loader thread use its own generator
+        (np.random.Generator is not thread-safe)."""
         cfg = self.config
         s = cfg.img_size
+        rng = self.rng if rng is None else rng
         lms = _glob.glob(identity_dir + "/*.npy")
-        lm_path = lms[int(self.rng.integers(0, len(lms)))]
+        lm_path = lms[int(rng.integers(0, len(lms)))]
         gt_path = lm_path.rsplit(".", 1)[0] + ".png"
 
         gt0 = _imread_rgb(gt_path)
         gt, lm, lm_mirror, _ = face_crop_and_resize(
-            gt0, np.load(lm_path), s, aug=True, rng=self.rng)
+            gt0, np.load(lm_path), s, aug=True, rng=rng)
         gt, img_dark, mask, _, face = shadow_synthesis_host(
-            gt, lm, 0.0, mask_dir=cfg.shadow_mask_dir or None, rng=self.rng)
+            gt, lm, 0.0, mask_dir=cfg.shadow_mask_dir or None, rng=rng)
         if getattr(cfg, "device_geometry", False):
             g = _geometry_primitives(lm)
             gm = _geometry_primitives(lm_mirror)
@@ -325,15 +331,25 @@ class Dataset:
         return self._test_iter()
 
     def _train_iter(self):
-        """Infinite shuffled iterator with thread-pool prefetch."""
-        n_workers = max(4, (os.cpu_count() or 1))
+        """Infinite shuffled iterator with thread-pool prefetch.
+
+        Each worker thread owns an independent np.random.Generator spawned
+        from the dataset seed (Generator is not thread-safe, and a shared
+        one would also make streams depend on thread scheduling)."""
+        n_workers = max(2, min(os.cpu_count() or 1, 16))
         pool = _futures.ThreadPoolExecutor(max_workers=n_workers)
-        lock = threading.Lock()
+        spawner = iter(np.random.SeedSequence(self.seed).spawn(n_workers * 4))
+        tls = threading.local()
+        spawn_lock = threading.Lock()
 
         def sample():
-            with lock:
-                d = self.name_list[int(self.rng.integers(0, len(self.name_list)))]
-            return self.parse_train(d)
+            rng = getattr(tls, "rng", None)
+            if rng is None:
+                with spawn_lock:
+                    tls.rng = np.random.default_rng(next(spawner))
+                rng = tls.rng
+            d = self.name_list[int(rng.integers(0, len(self.name_list)))]
+            return self.parse_train(d, rng=rng)
 
         pending = [pool.submit(sample) for _ in range(2 * n_workers)]
         idx = 0

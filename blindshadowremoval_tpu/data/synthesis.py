@@ -32,17 +32,7 @@ from blindshadowremoval_tpu.geometry.landmarks import forehead_points
 from blindshadowremoval_tpu.ops.perlin import brightness_mask, render_perlin_mask
 from blindshadowremoval_tpu.ops.ssscatter import apply_ss_shadow_map
 from blindshadowremoval_tpu.ops.tonecurve import face_darken
-
-
-def _cpu_device():
-    """The host CPU jax device, for data-pipeline compute.
-
-    The parse path runs concurrently with training: dispatching its small
-    jax ops to the default (TPU) device would serialize them against train
-    steps and pay a tunnel round trip per op, so everything jax in this
-    module's HOST half is pinned here.
-    """
-    return jax.local_devices(backend="cpu")[0]
+from blindshadowremoval_tpu.utils.hostdev import host_cpu_device
 
 
 def _compose_one(key: jax.Array, mask: jax.Array, gt: jax.Array,
@@ -124,21 +114,30 @@ class ShadowMaker:
 
     # class-level pool of procedural occluder masks: each mask is randomly
     # scaled / rotated / blurred / translated downstream, so drawing from a
-    # small refreshed pool is distributionally equivalent to generating one
-    # per sample at a fraction of the cost (the per-sample perlin render was
-    # the single most expensive host-parse item on a 1-core host)
+    # slowly refreshed pool is distributionally close to generating one per
+    # sample at a fraction of the cost (the per-sample perlin render was the
+    # single most expensive host-parse item on a 1-core host).  1-in-16
+    # draws regenerates a random slot, so long runs keep seeing fresh base
+    # shapes instead of freezing at the first pool-full contents.
     _MASK_POOL: list = []
     _MASK_POOL_SIZE = 32
+
+    def _render_mask(self) -> np.ndarray:
+        key = jax.random.PRNGKey(int(self.rng.integers(0, 2 ** 31)))
+        with jax.default_device(host_cpu_device()):
+            pm = np.asarray(render_perlin_mask(key, (256, 256)))[..., 0]
+        return (pm > 0.5).astype(np.float64)
 
     def _procedural_mask(self) -> np.ndarray:
         """Perlin-thresholded occluder when no mask library is configured."""
         pool = ShadowMaker._MASK_POOL
         if len(pool) < ShadowMaker._MASK_POOL_SIZE:
-            key = jax.random.PRNGKey(int(self.rng.integers(0, 2 ** 31)))
-            with jax.default_device(_cpu_device()):
-                pm = np.asarray(render_perlin_mask(key, (256, 256)))[..., 0]
-            pool.append((pm > 0.5).astype(np.float64))
+            pool.append(self._render_mask())
             return pool[-1]
+        if self.rng.uniform() < 1.0 / 16.0:
+            slot = int(self.rng.integers(0, len(pool)))
+            pool[slot] = self._render_mask()
+            return pool[slot]
         return pool[int(self.rng.integers(0, len(pool)))]
 
     def _compile_mask(self):
@@ -224,7 +223,7 @@ def shadow_synthesis_host(gt: np.ndarray, lm: np.ndarray, time: float = 0.0,
     face = generate_face_region(lm, width)
 
     key = jax.random.PRNGKey(int(rng.integers(0, 2 ** 31)))
-    with jax.default_device(_cpu_device()):
+    with jax.default_device(host_cpu_device()):
         img, img_dark, ctm = face_darken(key, jnp.asarray(gt, jnp.float32))
 
     maker = ShadowMaker(face, lm, mask_dir=mask_dir, rng=rng)

@@ -126,14 +126,11 @@ def _with_anchors(lm: np.ndarray) -> np.ndarray:
 
 
 def _host_cpu():
-    """CPU jax device for the host-facing map generators below.
+    """CPU device for the host-facing generate_* wrappers below (the jitted
+    rasterizer/blurs also run in-graph via device_geometry_maps)."""
+    from blindshadowremoval_tpu.utils.hostdev import host_cpu_device
 
-    `rasterize_linear` and the blur helpers are jitted so they can also run
-    in-graph, but the generate_* wrappers are called from the data-pipeline
-    host threads — on the default (possibly remote/tunneled TPU) device each
-    call would pay a device round trip and contend with training, so they
-    execute on the host CPU backend."""
-    return jax.local_devices(backend="cpu")[0]
+    return host_cpu_device()
 
 
 def generate_offset_map(source_lm, target_lm, size: int) -> np.ndarray:

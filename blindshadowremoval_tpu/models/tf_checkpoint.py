@@ -244,8 +244,9 @@ def load_tf_checkpoint(ckpt_prefix: str, variables: dict, mapping) -> dict:
             _tree_set(out, flax_path, jnp.asarray(tr(value)))
             continue
         # slice destination: accumulate into a buffer seeded from `variables`
+        # (np.array, not asarray: device arrays view as read-only)
         try:
-            buf = np.asarray(_tree_get(out, flax_path))
+            buf = np.array(_tree_get(out, flax_path))
         except KeyError:
             buf = np.array(_tree_get(variables, flax_path))
         buf[..., dst[0]:dst[1]] = tr(value)

@@ -15,6 +15,8 @@ producer's epilogue under XLA; accumulation is int32 on the MXU.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -27,11 +29,17 @@ def quantize_weight(w: jax.Array) -> tuple[jax.Array, jax.Array]:
     return wq, scale
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def int8_conv(x: jax.Array, w: jax.Array, bias: jax.Array | None = None,
               stride: int = 1, padding: str = "SAME") -> jax.Array:
     """Dynamically quantized NHWC conv: int8 x int8 -> int32 on the MXU,
     dequantized to float32.  `w` is the float kernel (quantized per call —
-    it is tiny next to the activations); `x` any float dtype."""
+    it is tiny next to the activations); `x` any float dtype.
+
+    Differentiable via a straight-through estimator: the backward pass is
+    the exact float-conv gradient (round/clip/int-cast would otherwise kill
+    the tangent almost everywhere), so the op is safe under training /
+    quantization-aware fine-tuning, not just inference."""
     xf = x.astype(jnp.float32)
     x_scale = jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True) / 127.0 + 1e-12
     xq = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
@@ -46,3 +54,29 @@ def int8_conv(x: jax.Array, w: jax.Array, bias: jax.Array | None = None,
     if bias is not None:
         out = out + bias.astype(jnp.float32)
     return out
+
+
+def _float_conv(x, w, bias, stride, padding):
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    out = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32), w.astype(jnp.float32), (stride, stride),
+        padding, dimension_numbers=dn)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out
+
+
+def _int8_conv_fwd(x, w, bias, stride, padding):
+    return int8_conv(x, w, bias, stride, padding), (x, w, bias)
+
+
+def _int8_conv_bwd(stride, padding, res, g):
+    x, w, bias = res
+    _, vjp = jax.vjp(lambda x_, w_, b_: _float_conv(x_, w_, b_, stride,
+                                                    padding), x, w, bias)
+    dx, dw, db = vjp(g)
+    return dx, dw, (None if bias is None else db)
+
+
+int8_conv.defvjp(_int8_conv_fwd, _int8_conv_bwd)

@@ -87,9 +87,8 @@ class Trainer:
         self.gen = build_generator(cfg)
         self.disc = MultiScaleDiscriminators(
             num_layers=cfg.n_layer_d, dtype=jnp.dtype(cfg.compute_dtype))
-        # perceptual backbone runs in the compute dtype too (taps are cast
-        # back to f32 inside VGG19Features before the loss)
-        self.vgg = VGG19Features(dtype=jnp.dtype(cfg.compute_dtype))
+        self.vgg = VGG19Features(
+            dtype=jnp.dtype(getattr(cfg, "vgg_dtype", "float32")))
         self.gen_tx = optax.adam(cfg.learning_rate, eps=1e-7)
         self.disc_tx = optax.adam(cfg.learning_rate, eps=1e-7)
 

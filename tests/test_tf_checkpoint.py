@@ -101,3 +101,43 @@ def test_load_raises_on_stripped_blobs():
     variables = _gen_variables()
     with pytest.raises((RuntimeError, Exception)):
         load_tf_checkpoint(CKPT, variables, generator_mapping())
+
+
+def test_sliced_load_writes_both_head_channels(tmp_path):
+    """Regression: loading the fused head accumulates two TF tensors into
+    channel slices of one flax leaf — the second write must not hit a
+    read-only buffer view."""
+    tf = pytest.importorskip("tensorflow")
+    from blindshadowremoval_tpu.models.tf_checkpoint import (
+        _identity,
+        load_tf_checkpoint,
+    )
+
+    root = tf.Module()
+    root.generator = tf.Module()
+    for name, fill in (("conv2", 2.0), ("conv3", 3.0)):
+        layer = tf.Module()
+        layer.conv = tf.Module()
+        layer.conv.kernel = tf.Variable(
+            np.full((7, 7, 4, 1), fill, np.float32))
+        layer.conv.bias = tf.Variable(np.full((1,), fill, np.float32))
+        setattr(root.generator, name, layer)
+    ckpt = tf.train.Checkpoint(root=root)
+    prefix = ckpt.save(str(tmp_path / "ckpt"))
+
+    mapping = []
+    for i, tf_layer in enumerate(("conv2", "conv3")):
+        for leaf in ("kernel", "bias"):
+            mapping.append(
+                (("params", "head", "Conv_0", leaf),
+                 f"generator/{tf_layer}/conv/{leaf}",
+                 _identity, (i, i + 1)))
+
+    variables = {"params": {"head": {"Conv_0": {
+        "kernel": jax.numpy.zeros((7, 7, 4, 2)),
+        "bias": jax.numpy.zeros((2,))}}}}
+    out = load_tf_checkpoint(prefix, variables, mapping)
+    k = np.asarray(out["params"]["head"]["Conv_0"]["kernel"])
+    b = np.asarray(out["params"]["head"]["Conv_0"]["bias"])
+    assert (k[..., 0] == 2.0).all() and (k[..., 1] == 3.0).all()
+    assert b[0] == 2.0 and b[1] == 3.0
