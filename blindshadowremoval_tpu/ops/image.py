@@ -10,8 +10,11 @@ metrics at train_test_GSC.py:724-725).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # ITU-R BT.601 luma weights used by tf.image.rgb_to_grayscale.
 _GRAY_W = (0.2989, 0.5870, 0.1140)
@@ -155,12 +158,31 @@ def ssim(a: jax.Array, b: jax.Array, max_val: float = 1.0) -> jax.Array:
     return out.reshape(lead)
 
 
+@functools.lru_cache(maxsize=64)
+def _nearest_matrix(out_size: int, in_size: int) -> np.ndarray:
+    """[out, in] one-hot selection matrix for NEAREST resize (half-pixel
+    centers) — axis-aligned nearest resize as two small matmuls rides the
+    MXU, where the equivalent constant-index gather lowers to slow TPU
+    gather ops (this sits under every perlin octave)."""
+    idx = np.floor((np.arange(out_size) + 0.5) * (in_size / out_size))
+    idx = np.clip(idx.astype(np.int64), 0, in_size - 1)
+    a = np.zeros((out_size, in_size), np.float32)
+    a[np.arange(out_size), idx] = 1.0
+    return a
+
+
 def resize_nearest(x: jax.Array, size: tuple[int, int]) -> jax.Array:
     """tf.image.resize NEAREST with half-pixel centers, [..., H, W, C]."""
     *lead, h, w, c = x.shape
     oh, ow = size
-    rows = jnp.floor((jnp.arange(oh, dtype=jnp.float32) + 0.5) * (h / oh))
-    cols = jnp.floor((jnp.arange(ow, dtype=jnp.float32) + 0.5) * (w / ow))
-    rows = jnp.clip(rows.astype(jnp.int32), 0, h - 1)
-    cols = jnp.clip(cols.astype(jnp.int32), 0, w - 1)
-    return x[..., rows[:, None], cols[None, :], :]
+    if (h, w) == (oh, ow):
+        return x
+    b = 1
+    for d in lead:
+        b *= d
+    xb = x.reshape(b, h, w, c)
+    a_h = jnp.asarray(_nearest_matrix(oh, h), x.dtype)
+    a_w = jnp.asarray(_nearest_matrix(ow, w), x.dtype)
+    y = jnp.einsum("Oh,bhwc->bOwc", a_h, xb)
+    y = jnp.einsum("Pw,bOwc->bOPc", a_w, y)
+    return y.reshape(*lead, oh, ow, c)
