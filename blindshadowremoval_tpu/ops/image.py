@@ -64,9 +64,17 @@ def hsv_to_rgb(x: jax.Array) -> jax.Array:
     q = v * (1.0 - s * f)
     t = v * (1.0 - s * (1.0 - f))
     i = i.astype(jnp.int32) % 6
-    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
-    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
-    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+
+    # 6-way sextant select as elementwise where-chains: jnp.choose lowers to
+    # a per-pixel gather from a stacked [6,...] array, which runs at ~1.6 GB/s
+    # on TPU (gathers bypass the VPU) and measured 18 ms per call at
+    # 16x256x256 — 52% of the whole train step.  jnp.select is pure VPU.
+    def pick(opts):
+        return jnp.select([i == k for k in range(5)], opts[:5], opts[5])
+
+    r = pick([v, q, p, p, t, v])
+    g = pick([t, v, v, q, p, p])
+    b = pick([p, p, t, v, v, q])
     return jnp.stack([r, g, b], axis=-1)
 
 

@@ -6,5 +6,6 @@ from blindshadowremoval_tpu.train.losses import (  # noqa: F401
     l2_loss_yuv,
     hinge_loss,
     style_content_loss,
+    style_content_loss_pair,
     multi_scale_gradient_loss,
 )

@@ -112,6 +112,21 @@ def style_content_loss(feats: Sequence[jax.Array]) -> jax.Array:
     return loss
 
 
+def style_content_loss_pair(feats_real: Sequence[jax.Array],
+                            feats_fake: Sequence[jax.Array]) -> jax.Array:
+    """`style_content_loss` with the real/fake taps computed separately.
+
+    Identical numerics (VGG has no cross-batch ops, so taps of a split batch
+    equal taps of the concat batch), but lets the trainer run the real half
+    under stop_gradient: XLA then skips the VGG backward for real images —
+    the concat form pays it even though no gradient flows there.
+    """
+    loss = 0.0
+    for fr, ff in zip(feats_real, feats_fake):
+        loss = loss + jnp.mean(jnp.abs(fr - ff))
+    return loss
+
+
 def get_img_grad(img: jax.Array, scale: int = 1) -> jax.Array:
     """(dx + dy) * 5 at a given downscale (train_test_GSC.py:107-115)."""
     b, h, w, c = img.shape

@@ -46,7 +46,7 @@ from blindshadowremoval_tpu.train.losses import (
     l1_loss,
     multi_scale_gradient_loss,
     reconstruction_losses,
-    style_content_loss,
+    style_content_loss_pair,
 )
 
 
@@ -236,9 +236,16 @@ class Trainer:
             else:
                 recon = (recon_gs + recon_c) / 2.0
             gan = -sum(jnp.mean(fake) for _, fake in d_outs)
-            feats = self.vgg.apply({"params": state.vgg_params},
-                                   preprocess(d_img))
-            per = style_content_loss(feats)
+            # real/fake VGG taps computed separately (identical numerics to
+            # the concat form, utils.py:104-114) so the real half runs under
+            # stop_gradient and XLA skips its VGG backward — the perceptual
+            # pass is the largest FLOP block of the step
+            feats_real = self.vgg.apply(
+                {"params": state.vgg_params},
+                preprocess(jax.lax.stop_gradient(gt)))
+            feats_fake = self.vgg.apply({"params": state.vgg_params},
+                                        preprocess(rgb))
+            per = style_content_loss_pair(feats_real, feats_fake)
             grad_l = multi_scale_gradient_loss(rgb, gt, mask_bi, mask_edge)
             total = recon * 400.0 + gan + per * 0.005 + grad_l * 2.0
 

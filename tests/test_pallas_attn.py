@@ -35,6 +35,7 @@ def test_dispatch_falls_back_off_tpu(rng):
 
 
 def test_gradients_match_xla(rng):
+    """interpret=True routes BOTH directions through the Pallas kernels."""
     t, p, g = _ops(rng, b=1, n=128)
 
     def loss_fused(t, p, g):
@@ -48,6 +49,42 @@ def test_gradients_match_xla(rng):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-3, rtol=1e-3)
+
+
+def test_bwd_kernel_matches_xla_bwd(rng):
+    """The fused backward kernel against the plain-XLA gradient formulas,
+    with a non-trivial upstream cotangent."""
+    from blindshadowremoval_tpu.ops.pallas.nonlocal_attn import (
+        _attention_bwd_xla,
+        _pallas_attention_bwd,
+    )
+
+    t, p, g = _ops(rng, b=2, n=256)
+    dout = jnp.asarray(rng.normal(scale=0.5, size=t.shape).astype(np.float32))
+    ref = _attention_bwd_xla(t, p, g, dout)
+    out = _pallas_attention_bwd(t, p, g, dout, interpret=True)
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-4)
+
+
+def test_bwd_kernel_bf16(rng):
+    """bf16 operands (the training compute dtype) stay finite and track the
+    f32 reference within bf16 tolerance."""
+    from blindshadowremoval_tpu.ops.pallas.nonlocal_attn import (
+        _attention_bwd_xla,
+        _pallas_attention_bwd,
+    )
+
+    t, p, g = _ops(rng, b=1, n=128)
+    dout = jnp.asarray(rng.normal(scale=0.5, size=t.shape).astype(np.float32))
+    args16 = [x.astype(jnp.bfloat16) for x in (t, p, g, dout)]
+    ref = _attention_bwd_xla(t, p, g, dout)
+    out = _pallas_attention_bwd(*args16, interpret=True)
+    for a, b in zip(out, ref):
+        a = np.asarray(a, np.float32)
+        np.testing.assert_allclose(a, np.asarray(b), atol=0.05, rtol=0.05)
+        assert np.isfinite(a).all()
 
 
 def test_softmax_rows_sum_to_one_property(rng):

@@ -1,0 +1,112 @@
+"""Training-step throughput on one TPU chip.
+
+Times the fused G+D train step (`Trainer.train_step`: on-device augmentation,
+generator + 3 discriminators + VGG-19 forward, full loss stack, both Adam
+updates) at 256x256 across batch sizes and dtype configs.
+
+Timing uses the same axon-tunnel-safe pattern as bench.py: K steps chained
+inside one `lax.scan` reduced through the carried TrainState, timed around a
+final scalar fetch (one tunnel roundtrip amortized over K full steps).
+`jax.block_until_ready` does NOT wait for remote execution through the
+tunnel; only a device->host fetch does.
+
+Usage: python tools/bench_train.py [--batches 1,8,32] [--steps 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def bench_config(batch_size: int, steps: int, compute_dtype: str,
+                 vgg_dtype: str, donate: bool = True) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from blindshadowremoval_tpu.config import get_config
+    from blindshadowremoval_tpu.train.trainer import Trainer
+
+    s = 256
+    cfg = get_config("train", img_size=s, batch_size=batch_size,
+                     compute_dtype=compute_dtype, vgg_dtype=vgg_dtype)
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    b2 = batch_size * 2
+    batch = {
+        "img_dark": rng.uniform(size=(b2, s, s, 3)),
+        "gt": rng.uniform(size=(b2, s, s, 3)),
+        "mask": rng.uniform(size=(b2, s, s, 1)),
+        "uv": rng.uniform(size=(b2, s, s, 3)),
+        "reg": rng.uniform(-0.02, 0.02, size=(b2, s, s, 6)),
+        "face": (rng.uniform(size=(b2, s, s, 1)) > 0.4),
+    }
+    batch = {k: jnp.asarray(v.astype(np.float32)) for k, v in batch.items()}
+
+    # raw (unjitted) step body so K steps chain inside one executable
+    raw_step = type(trainer).train_step.__wrapped__
+
+    def body(carry, i):
+        state, key = carry
+        key, sub = jax.random.split(key)
+        new_state, losses, _ = raw_step(trainer, state, batch, sub, train=True)
+        return (new_state, key), losses["recon_c"]
+
+    donate_args = (0,) if donate else ()
+
+    @jax.jit
+    def run(state, key):
+        (state, _), ls = jax.lax.scan(
+            body, (state, key), jnp.arange(steps))
+        return state, ls.sum()
+
+    if donate:
+        run = jax.jit(run.__wrapped__, donate_argnums=donate_args)
+
+    # warmup (compile + one execution), fetch to force completion
+    state1, tot = run(state, jax.random.PRNGKey(1))
+    w = float(tot)
+    if donate:
+        state = state1  # original buffers were donated
+    t0 = time.time()
+    state2, tot2 = run(state1, jax.random.PRNGKey(2))
+    v = float(tot2)
+    dt = time.time() - t0
+    assert np.isfinite(v) and v != w, (v, w)
+    step_time = dt / steps
+    return {
+        "batch_size": batch_size,
+        "views_per_step": b2,
+        "compute_dtype": compute_dtype,
+        "vgg_dtype": vgg_dtype,
+        "step_time_ms": round(step_time * 1e3, 2),
+        "steps_per_sec": round(1.0 / step_time, 2),
+        "views_per_sec": round(b2 / step_time, 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", default="1,8,32")
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--compute-dtype", default="bfloat16")
+    ap.add_argument("--vgg-dtype", default="float32")
+    ap.add_argument("--no-donate", action="store_true")
+    args = ap.parse_args()
+    for b in [int(x) for x in args.batches.split(",")]:
+        r = bench_config(b, args.steps, args.compute_dtype, args.vgg_dtype,
+                         donate=not args.no_donate)
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()
