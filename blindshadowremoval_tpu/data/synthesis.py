@@ -34,6 +34,20 @@ from blindshadowremoval_tpu.ops.ssscatter import apply_ss_shadow_map
 from blindshadowremoval_tpu.ops.tonecurve import face_darken
 from blindshadowremoval_tpu.utils.hostdev import host_cpu_device
 
+_FACE_DARKEN_JIT = None
+
+
+def _face_darken_jitted():
+    """face_darken compiled once for the host parse path.
+
+    Eagerly dispatched, the ~30 small jnp ops inside face_darken cost
+    ~50 ms/sample on a 1-core host (26 ms alone in an uncompiled
+    random.split); jitted, the whole thing is ~2 ms."""
+    global _FACE_DARKEN_JIT
+    if _FACE_DARKEN_JIT is None:
+        _FACE_DARKEN_JIT = jax.jit(face_darken)
+    return _FACE_DARKEN_JIT
+
 
 def _compose_one(key: jax.Array, mask: jax.Array, gt: jax.Array,
                  img_dark: jax.Array, face: jax.Array):
@@ -142,7 +156,6 @@ class ShadowMaker:
 
     def _compile_mask(self):
         import cv2
-        from scipy import ndimage
 
         mask = self._load_library_mask()
         if mask is None:
@@ -171,7 +184,17 @@ class ShadowMaker:
             start_center[1] += length * self.rng.uniform(-0.05, 0.05)
             shape = max(int(length * self.scale * 2), 10)
             mask = cv2.resize(mask, (shape, shape))
-            mask = ndimage.rotate(mask, self.rot, reshape=False)
+            # the reference rotates with scipy's generic geometric_transform
+            # (ndimage.rotate, utils.py:968) — ~22 ms/sample of the host
+            # parse; a center-anchored affine warp is the same rotation at
+            # ~0.5 ms, and linear vs cubic interpolation of a binary mask is
+            # indistinguishable after the cv2.blur that follows
+            # (distributional-parity contract, PARITY.md)
+            hm, wm = mask.shape[:2]
+            rotm = cv2.getRotationMatrix2D(((wm - 1) / 2.0, (hm - 1) / 2.0),
+                                           self.rot, 1.0)
+            mask = cv2.warpAffine(mask, rotm, (wm, hm),
+                                  flags=cv2.INTER_LINEAR)
             mask = cv2.blur(mask, (self.blur, self.blur))
         self.mask = mask[..., None]
         self.mask_shape = shape
@@ -224,7 +247,8 @@ def shadow_synthesis_host(gt: np.ndarray, lm: np.ndarray, time: float = 0.0,
 
     key = jax.random.PRNGKey(int(rng.integers(0, 2 ** 31)))
     with jax.default_device(host_cpu_device()):
-        img, img_dark, ctm = face_darken(key, jnp.asarray(gt, jnp.float32))
+        img, img_dark, ctm = _face_darken_jitted()(
+            key, jnp.asarray(gt, jnp.float32))
 
     maker = ShadowMaker(face, lm, mask_dir=mask_dir, rng=rng)
     mask, face = maker.compute_mask(time)
