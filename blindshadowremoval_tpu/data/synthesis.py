@@ -28,25 +28,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from blindshadowremoval_tpu.geometry.crop import rotate_center
 from blindshadowremoval_tpu.geometry.landmarks import forehead_points
 from blindshadowremoval_tpu.ops.perlin import brightness_mask, render_perlin_mask
 from blindshadowremoval_tpu.ops.ssscatter import apply_ss_shadow_map
 from blindshadowremoval_tpu.ops.tonecurve import face_darken
 from blindshadowremoval_tpu.utils.hostdev import host_cpu_device
 
-_FACE_DARKEN_JIT = None
-
-
-def _face_darken_jitted():
-    """face_darken compiled once for the host parse path.
-
-    Eagerly dispatched, the ~30 small jnp ops inside face_darken cost
-    ~50 ms/sample on a 1-core host (26 ms alone in an uncompiled
-    random.split); jitted, the whole thing is ~2 ms."""
-    global _FACE_DARKEN_JIT
-    if _FACE_DARKEN_JIT is None:
-        _FACE_DARKEN_JIT = jax.jit(face_darken)
-    return _FACE_DARKEN_JIT
+# compiled once for the host parse path: eagerly dispatched, the ~30 small
+# jnp ops inside face_darken cost ~50 ms/sample on a 1-core host (26 ms
+# alone in an uncompiled random.split); jitted, the whole thing is ~2 ms.
+# jax.jit is lazy (first call compiles), so this touches no backend at import.
+_face_darken_jit = jax.jit(face_darken)
 
 
 def _compose_one(key: jax.Array, mask: jax.Array, gt: jax.Array,
@@ -184,17 +177,10 @@ class ShadowMaker:
             start_center[1] += length * self.rng.uniform(-0.05, 0.05)
             shape = max(int(length * self.scale * 2), 10)
             mask = cv2.resize(mask, (shape, shape))
-            # the reference rotates with scipy's generic geometric_transform
-            # (ndimage.rotate, utils.py:968) — ~22 ms/sample of the host
-            # parse; a center-anchored affine warp is the same rotation at
-            # ~0.5 ms, and linear vs cubic interpolation of a binary mask is
-            # indistinguishable after the cv2.blur that follows
-            # (distributional-parity contract, PARITY.md)
-            hm, wm = mask.shape[:2]
-            rotm = cv2.getRotationMatrix2D(((wm - 1) / 2.0, (hm - 1) / 2.0),
-                                           self.rot, 1.0)
-            mask = cv2.warpAffine(mask, rotm, (wm, hm),
-                                  flags=cv2.INTER_LINEAR)
+            # reference: ndimage.rotate (utils.py:968); rotate_center is the
+            # cv2 equivalent (interpolation-order delta is washed out by the
+            # cv2.blur that follows)
+            mask = rotate_center(mask, self.rot)
             mask = cv2.blur(mask, (self.blur, self.blur))
         self.mask = mask[..., None]
         self.mask_shape = shape
@@ -247,8 +233,7 @@ def shadow_synthesis_host(gt: np.ndarray, lm: np.ndarray, time: float = 0.0,
 
     key = jax.random.PRNGKey(int(rng.integers(0, 2 ** 31)))
     with jax.default_device(host_cpu_device()):
-        img, img_dark, ctm = _face_darken_jitted()(
-            key, jnp.asarray(gt, jnp.float32))
+        img, img_dark, ctm = _face_darken_jit(key, jnp.asarray(gt, jnp.float32))
 
     maker = ShadowMaker(face, lm, mask_dir=mask_dir, rng=rng)
     mask, face = maker.compute_mask(time)

@@ -41,13 +41,35 @@ def pts_load(path: str) -> np.ndarray:
     return np.asarray(pts, dtype=np.float32)
 
 
-def rotate_image_and_landmarks(img: np.ndarray, lm: np.ndarray, deg: float):
-    """Rotate image CCW by `deg` about its center, with matching landmarks.
+def rotate_center(img: np.ndarray, deg: float) -> np.ndarray:
+    """Rotate CCW by `deg` about the image center, output size unchanged.
 
-    Matches utils.py:370-382 (scipy.ndimage.rotate with reshape=False).
+    Drop-in for the reference's `ndimage.rotate(img, deg, reshape=False)`
+    (utils.py:381,968) as a cv2 affine warp: same direction and the same
+    (n-1)/2 center (verified against ndimage), but bilinear interpolation
+    instead of scipy's cubic spline — scipy's generic geometric_transform
+    costs ~22 ms/sample in prefiltering on augmentation-only paths where the
+    interpolation order is distributionally irrelevant (PARITY.md).
     """
     import cv2
 
+    rows, cols = img.shape[:2]
+    rotm = cv2.getRotationMatrix2D(((cols - 1) / 2.0, (rows - 1) / 2.0),
+                                   deg, 1.0)
+    out = cv2.warpAffine(np.ascontiguousarray(img), rotm, (cols, rows),
+                         flags=cv2.INTER_LINEAR)
+    if out.ndim == 2 and img.ndim == 3:
+        out = out[..., None]
+    return out
+
+
+def rotate_image_and_landmarks(img: np.ndarray, lm: np.ndarray, deg: float):
+    """Rotate image CCW by `deg` about its center, with matching landmarks.
+
+    Matches utils.py:370-382 (scipy.ndimage.rotate with reshape=False; the
+    lm transform keeps the reference's n/2 landmark center, a half-pixel
+    quirk the reference itself carries).
+    """
     rows, cols = img.shape[:2]
     s, c = np.sin(np.deg2rad(deg)), np.cos(np.deg2rad(deg))
     x = lm[:, 0] - cols / 2
@@ -55,18 +77,7 @@ def rotate_image_and_landmarks(img: np.ndarray, lm: np.ndarray, deg: float):
     out = np.array(lm, copy=True, dtype=np.float64)
     out[:, 0] = y * s + x * c + cols / 2
     out[:, 1] = y * c - x * s + rows / 2
-    # same center rotation as the reference's ndimage.rotate(reshape=False)
-    # but as a cv2 affine warp: scipy's generic geometric_transform costs
-    # ~22 ms per train sample in cubic spline filtering for a +/-10 deg
-    # *augmentation* rotation (distributional-parity contract, PARITY.md);
-    # the affine warp is ~0.5 ms
-    rotm = cv2.getRotationMatrix2D(((cols - 1) / 2.0, (rows - 1) / 2.0),
-                                   deg, 1.0)
-    img = cv2.warpAffine(np.ascontiguousarray(img), rotm, (cols, rows),
-                         flags=cv2.INTER_LINEAR)
-    if img.ndim == 2:
-        img = img[..., None]
-    return img, out
+    return rotate_center(img, deg), out
 
 
 def face_crop_and_resize(

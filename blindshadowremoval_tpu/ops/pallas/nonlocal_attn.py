@@ -37,6 +37,14 @@ except Exception:  # pragma: no cover
     _VMEM = None
 
 
+def _use_pallas(n: int, d: int, interpret: bool) -> bool:
+    """One dispatch predicate shared by forward and backward so the two
+    directions can never route to different kernels."""
+    aligned = (n % 128 == 0) and (d % 128 == 0)
+    return (pltpu is not None) and aligned and (
+        interpret or jax.default_backend() == "tpu")
+
+
 def _attention_xla(theta: jax.Array, phi: jax.Array, g: jax.Array) -> jax.Array:
     scores = jnp.einsum("bnd,bmd->bnm", theta, phi)
     w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(g.dtype)
@@ -85,10 +93,7 @@ def fused_nonlocal_attention(theta: jax.Array, phi: jax.Array, g: jax.Array,
     the Pallas interpreter (for CPU testing).
     """
     b, n, d = theta.shape
-    aligned = (n % 128 == 0) and (d % 128 == 0)
-    use_pallas = (pltpu is not None) and aligned and (
-        interpret or jax.default_backend() == "tpu")
-    if not use_pallas:
+    if not _use_pallas(n, d, interpret):
         return _attention_xla(theta, phi, g)
     return _pallas_attention(theta, phi, g, interpret=interpret)
 
@@ -129,13 +134,16 @@ def _attn_bwd_kernel(t_ref, p_ref, g_ref, do_ref, dt_ref, dp_ref, dg_ref):
 def _pallas_attention_bwd(theta, phi, g, dout, interpret=False):
     b, n, d = theta.shape
     spec = pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=_VMEM)
-    shp = jax.ShapeDtypeStruct((b, n, d), theta.dtype)
+    # each cotangent takes its own primal's dtype, matching _attention_bwd_xla
+    # (theta/phi/g may have mixed dtypes)
+    shapes = tuple(jax.ShapeDtypeStruct((b, n, d), x.dtype)
+                   for x in (theta, phi, g))
     return pl.pallas_call(
         _attn_bwd_kernel,
         grid=(b,),
         in_specs=[spec] * 4,
         out_specs=(spec, spec, spec),
-        out_shape=(shp, shp, shp),
+        out_shape=shapes,
         interpret=interpret,
     )(theta, phi, g, dout)
 
@@ -162,10 +170,7 @@ def _fwd(theta, phi, g, interpret):
 def _bwd(interpret, res, dout):
     theta, phi, g = res
     b, n, d = theta.shape
-    aligned = (n % 128 == 0) and (d % 128 == 0)
-    use_pallas = (pltpu is not None) and aligned and (
-        interpret or jax.default_backend() == "tpu")
-    if not use_pallas:
+    if not _use_pallas(n, d, interpret):
         return _attention_bwd_xla(theta, phi, g, dout)
     return _pallas_attention_bwd(theta, phi, g, dout, interpret=interpret)
 

@@ -87,6 +87,24 @@ def test_bwd_kernel_bf16(rng):
         assert np.isfinite(a).all()
 
 
+def test_bwd_kernel_mixed_dtypes(rng):
+    """Each cotangent takes its own primal's dtype (theta/phi bf16, g f32),
+    matching the XLA fallback — regression for the kernel forcing all three
+    to theta.dtype."""
+    from blindshadowremoval_tpu.ops.pallas.nonlocal_attn import (
+        _pallas_attention_bwd,
+    )
+
+    t, p, g = _ops(rng, b=1, n=128)
+    dout = jnp.asarray(rng.normal(scale=0.5, size=t.shape).astype(np.float32))
+    dt_, dp_, dg_ = _pallas_attention_bwd(
+        t.astype(jnp.bfloat16), p.astype(jnp.bfloat16), g, dout,
+        interpret=True)
+    assert dt_.dtype == jnp.bfloat16
+    assert dp_.dtype == jnp.bfloat16
+    assert dg_.dtype == jnp.float32
+
+
 def test_softmax_rows_sum_to_one_property(rng):
     """Attention output of constant g equals g (softmax rows sum to 1)."""
     t, p, _ = _ops(rng, b=1, n=128)

@@ -61,24 +61,18 @@ def bench_config(batch_size: int, steps: int, compute_dtype: str,
         new_state, losses, _ = raw_step(trainer, state, batch, sub, train=True)
         return (new_state, key), losses["recon_c"]
 
-    donate_args = (0,) if donate else ()
-
-    @jax.jit
-    def run(state, key):
+    def run_fn(state, key):
         (state, _), ls = jax.lax.scan(
             body, (state, key), jnp.arange(steps))
         return state, ls.sum()
 
-    if donate:
-        run = jax.jit(run.__wrapped__, donate_argnums=donate_args)
+    run = jax.jit(run_fn, donate_argnums=(0,) if donate else ())
 
     # warmup (compile + one execution), fetch to force completion
     state1, tot = run(state, jax.random.PRNGKey(1))
     w = float(tot)
-    if donate:
-        state = state1  # original buffers were donated
     t0 = time.time()
-    state2, tot2 = run(state1, jax.random.PRNGKey(2))
+    _, tot2 = run(state1, jax.random.PRNGKey(2))
     v = float(tot2)
     dt = time.time() - t0
     assert np.isfinite(v) and v != w, (v, w)
