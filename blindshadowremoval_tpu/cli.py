@@ -67,6 +67,10 @@ def build_parser():
     p.add_argument("--max-epoch", type=int, default=300)
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--log-every", type=int, default=1,
+                   help="fetch/print losses every N steps; each fetch syncs "
+                        "the device (one ~40 ms tunnel roundtrip on remote "
+                        "TPU), so raise this to keep the step pipeline full")
     _add_common(p)
 
     p = sub.add_parser("preprocess",
@@ -122,6 +126,7 @@ def main(argv=None):
             steps_per_epoch=args.steps_per_epoch,
             max_epoch=args.max_epoch, batch_size=args.batch_size,
             learning_rate=args.lr,
+            log_every_steps=args.log_every,
             device_geometry=args.device_geometry)
     else:
         overrides["data_dirs_test"] = (args.data,)
