@@ -49,6 +49,15 @@ def build_parser():
         p = sub.add_parser(name, help=helptext)
         p.add_argument("--data", required=True, help="glob of test dirs")
         _add_common(p)
+        if name in ("infer", "ucb"):
+            p.add_argument(
+                "--eval-views", type=int, default=10,
+                help="views per sample: anchor + N-1 random same-folder refs "
+                     "(reference protocol: 10). Refs only influence the tsm "
+                     "variant; --eval-views 1 evaluates gsc/rgb ~3x faster "
+                     "with statistically equivalent metrics (bf16 batching "
+                     "can flip individual postprocess thresholds: measured "
+                     "19.15 dB/0.720 vs 19.13 dB/0.730 on UCB-100)")
         if name == "ucb":
             p.add_argument("--part-masks", required=True,
                            help="root containing the UCB_input_images_* dirs")
@@ -130,6 +139,8 @@ def main(argv=None):
             device_geometry=args.device_geometry)
     else:
         overrides["data_dirs_test"] = (args.data,)
+        if getattr(args, "eval_views", None):
+            overrides["eval_views"] = args.eval_views
     cfg = get_config(preset, **overrides)
 
     from blindshadowremoval_tpu.data.dataset import Dataset

@@ -47,6 +47,13 @@ class Config:
                                        # step, utils.py:152-171)
 
     # --- model ----------------------------------------------------------
+    eval_views: int = 10               # views per UCB/in-the-wild eval sample
+                                       # (anchor + eval_views-1 random refs,
+                                       # dataset.py:148-302).  The refs only
+                                       # influence TSM (cross-view sharing);
+                                       # for gsc/rgb, eval_views=1 gives
+                                       # statistically equivalent metrics at
+                                       # ~10x less parse+forward work/image
     n_layer_d: int = 4                 # discriminator depth (train_test_GSC.py:53)
     n_res: int = 6                     # ResBottleneck count in the generator
     variant: str = "gsc"               # 'gsc' | 'tsm' | 'rgb'
@@ -72,8 +79,8 @@ class Config:
 
     @property
     def num_views(self) -> int:
-        """Views packed per sample (2 mirrored train views; 10 refs at test)."""
-        return 2 if self.mode == "train" else 10
+        """Views packed per sample (2 mirrored train views; eval_views at test)."""
+        return 2 if self.mode == "train" else self.eval_views
 
 
 _PRESETS = {

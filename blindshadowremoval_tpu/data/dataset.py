@@ -229,7 +229,7 @@ class Dataset:
         views.append(anchor)
         folder = os.path.dirname(lm_path)
         pool = _glob.glob(folder + "/*.npy")
-        for _ in range(9):
+        for _ in range(self.config.eval_views - 1):
             ref = pool[int(self.rng.integers(0, len(pool)))]
             v, _, _ = self._test_view(ref, gt)
             views.append(v)
@@ -253,7 +253,7 @@ class Dataset:
         views.append(anchor)
         folder = os.path.dirname(lm_path)
         pool = _glob.glob(folder + "/*.npy")
-        for _ in range(9):
+        for _ in range(self.config.eval_views - 1):
             ref = pool[int(self.rng.integers(0, len(pool)))]
             v, _, _ = self._test_view(ref, gt)
             views.append(v)

@@ -87,6 +87,15 @@ class Evaluator:
             return out
 
         self._fwd = jax.jit(fwd, static_argnames=("frame", "share"))
+        # one jitted call for both metrics: eagerly dispatched, SSIM's ~20
+        # ops each pay a device roundtrip (seconds per image on remote TPU)
+        self._metrics = jax.jit(
+            lambda gt, out: (ssim_fn(gt, out), psnr_fn(gt, out)))
+
+    def metrics(self, gt: np.ndarray, out: np.ndarray) -> tuple[float, float]:
+        """(SSIM, PSNR) of a single [H,W,C] pair, one device round trip."""
+        s, p = self._metrics(jnp.asarray(gt)[None], jnp.asarray(out)[None])
+        return float(s[0]), float(p[0])
 
     def forward(self, batch: dict, frame: int = 1, share: bool = True):
         """batch: dict of [V,S,S,C] views.  Returns (gs, rgb, mask22, dif)
@@ -161,8 +170,7 @@ class UCBEvaluator(Evaluator):
             params)
         out = composite(pred, tmp, detected)
 
-        ssim = float(ssim_fn(jnp.asarray(gt_sc)[None], jnp.asarray(out)[None])[0])
-        psnr = float(psnr_fn(jnp.asarray(gt_sc)[None], jnp.asarray(out)[None])[0])
+        ssim, psnr = self.metrics(gt_sc, out)
         figs = [tmp[None], out[None], mp[None] * 2, gt_sc[None],
                 detected[None]]
         self.logger.save_result_image(figs, name)
@@ -191,10 +199,7 @@ class SFWEvaluator(Evaluator):
 
         label_raw = batch["label"][0]
         pred0 = mask_pred[0]
-        ssim = float(ssim_fn(jnp.asarray(label_raw)[None],
-                             jnp.asarray(pred0)[None])[0])
-        psnr = float(psnr_fn(jnp.asarray(label_raw)[None],
-                             jnp.asarray(pred0)[None])[0])
+        ssim, psnr = self.metrics(label_raw, pred0)
         shadow_gt = (label_raw == 2).astype(np.float32)   # label==2 is shadow
         auc = float(roc_auc_with_sentinels(jnp.asarray(shadow_gt),
                                            jnp.asarray(pred0)))
