@@ -27,7 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def bench_config(batch_size: int, steps: int, compute_dtype: str,
-                 vgg_dtype: str, donate: bool = True) -> dict:
+                 vgg_dtype: str, donate: bool = True,
+                 remat: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -36,7 +37,8 @@ def bench_config(batch_size: int, steps: int, compute_dtype: str,
 
     s = 256
     cfg = get_config("train", img_size=s, batch_size=batch_size,
-                     compute_dtype=compute_dtype, vgg_dtype=vgg_dtype)
+                     compute_dtype=compute_dtype, vgg_dtype=vgg_dtype,
+                     remat=remat)
     trainer = Trainer(cfg)
     state = trainer.init_state(jax.random.PRNGKey(0))
 
@@ -82,6 +84,7 @@ def bench_config(batch_size: int, steps: int, compute_dtype: str,
         "views_per_step": b2,
         "compute_dtype": compute_dtype,
         "vgg_dtype": vgg_dtype,
+        "remat": remat,
         "step_time_ms": round(step_time * 1e3, 2),
         "steps_per_sec": round(1.0 / step_time, 2),
         "views_per_sec": round(b2 / step_time, 1),
@@ -95,10 +98,13 @@ def main():
     ap.add_argument("--compute-dtype", default="bfloat16")
     ap.add_argument("--vgg-dtype", default="float32")
     ap.add_argument("--no-donate", action="store_true")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize bottleneck blocks (fits batch 32+ "
+                         "in 16 GB HBM)")
     args = ap.parse_args()
     for b in [int(x) for x in args.batches.split(",")]:
         r = bench_config(b, args.steps, args.compute_dtype, args.vgg_dtype,
-                         donate=not args.no_donate)
+                         donate=not args.no_donate, remat=args.remat)
         print(json.dumps(r))
 
 
