@@ -61,7 +61,12 @@ class ShareLayer(nn.Module):
             x_share = jnp.broadcast_to(
                 x_share[:, None], (gf // frame, frame, h, w, 2 * c)
             ).reshape(gf, h, w, 2 * c)
-            return batch_map_offsets(x_share, reg_out)
+            # the f32 offset field promotes the warp to f32; cast back so
+            # both cond branches (and the downstream convs) keep the compute
+            # dtype — bf16 TSM training hit a lax.cond branch-dtype mismatch
+            # here, and the static share=True path silently ran everything
+            # after the first ShareLayer in f32
+            return batch_map_offsets(x_share, reg_out).astype(x.dtype)
 
         if isinstance(share, bool):             # static gate
             return shared(x, reg) if share else passthrough(x, reg)

@@ -195,6 +195,25 @@ def test_ucb_eval(tmp_path):
     assert r["detected"].shape == (S, S, 3) or r["detected"].shape == (256, 256, 3)
 
 
+@pytest.mark.skipif(not os.path.isdir(SAMPLE), reason="sample fixture absent")
+def test_ucb_eval_single_view(tmp_path):
+    """config.eval_views=1: dataset yields only the anchor and the evaluator
+    runs the full protocol on it (the 9 refs only influence tsm)."""
+    from blindshadowremoval_tpu.eval.evaluators import UCBEvaluator
+
+    root = _make_ucb_fixture(tmp_path)
+    cfg = _small_config(tmp_path / "ckpt", "ucb",
+                        data_dirs_test=(root + "/input/*",),
+                        part_mask_root=root, eval_views=1)
+    ds = Dataset(cfg, "test")
+    batch, box, name = next(iter(ds))
+    assert batch["img"].shape[0] == 1
+
+    ev = UCBEvaluator(cfg, _variables(cfg))
+    r = ev.run_one(batch, box, name, ev._load_part_masks(root, 0))
+    assert np.isfinite(r["psnr"]) and np.isfinite(r["ssim"])
+
+
 def test_ucb_gt_path():
     assert Dataset._ucb_gt_path("UCB/train/input/9156/9156-004.npy") == \
         "UCB/train/gt/9156/9156-004.png"

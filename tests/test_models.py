@@ -113,6 +113,19 @@ def test_tsm_generator_contract(rng):
     assert rgb.shape == (4, S, S, 3)
 
 
+def test_tsm_bf16_traced_share_gate(rng):
+    """bf16 TSM with a TRACED share gate (the trainer's per-step random
+    gate): both lax.cond branches must produce the same dtype — regression
+    for the shared branch's f32-promoted warp output."""
+    img, uv, reg = _gen_inputs(rng, b=2)
+    m = TSMGenerator(dtype=jnp.bfloat16)
+    vars_ = m.init(jax.random.PRNGKey(0), img, uv, reg, frame=2)
+    gs, rgb, _, _ = m.apply(vars_, img, uv, reg, frame=1,
+                            share=jnp.asarray(True))
+    assert rgb.shape == (2, S, S, 3)
+    assert np.isfinite(np.asarray(rgb, np.float32)).all()
+
+
 def test_tsm_share_false_matches_channel_contract(rng):
     img, uv, reg = _gen_inputs(rng, b=2)
     m = TSMGenerator()
