@@ -40,6 +40,16 @@ def test_serving_end_to_end():
     # identical inputs -> identical outputs regardless of batch position
     np.testing.assert_allclose(out[0]["pred"], out[4]["pred"], atol=1e-5)
 
+    # compact egress (uint8 preds + f16 maps on the wire) matches the f32
+    # path within quantization (1/255 on preds)
+    svc_full = ShadowRemovalService(cfg, variables, batch_size=4,
+                                    compact_output=False)
+    ref = svc_full.remove_shadows([img], [lm])[0]
+    assert ref["pred"].dtype == np.float32
+    np.testing.assert_allclose(out[0]["pred"], ref["pred"], atol=1.0 / 255)
+    np.testing.assert_allclose(out[0]["mask_pred"], ref["mask_pred"],
+                               atol=2e-3)
+
 
 def test_host_local_batch_single_process():
     from blindshadowremoval_tpu.parallel.distributed import (
