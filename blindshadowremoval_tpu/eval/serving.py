@@ -44,6 +44,12 @@ class ShadowRemovalService:
     # throughput when the chip is remote (and it's free bandwidth locally).
     # uint8 loses nothing: served predictions are written as 8-bit images.
     compact_output: bool = True
+    # rasterize the UV/offset/face maps in-graph from landmarks + Delaunay
+    # topologies (device_geometry_maps — numerically identical to the host
+    # generate_* wrappers, tests/test_device_geometry.py): host work per
+    # request drops from ~88 ms (3 barycentric rasterizations) to ~10 ms
+    # (crop + microseconds of qhull), and the maps fuse into the forward
+    device_geometry: bool = True
 
     def __post_init__(self):
         cfg = self.config
@@ -51,33 +57,73 @@ class ShadowRemovalService:
         s = cfg.img_size
         compact = self.compact_output
 
-        def fwd(variables, img, uv, reg):
-            if cfg.variant == "tsm":
-                out = self.gen.apply(variables, img, uv, reg, frame=1,
-                                     share=True, train=False)
-            else:
-                out = self.gen.apply(variables, img, uv, reg, train=False)
+        def finish(out, face):
             if cfg.variant == "rgb":
                 rgb, dif = jnp.clip(out, 0.0, 1.0), out[..., :1] * 0
             else:
                 _, rgb, _, dif = out
                 rgb = jnp.clip(rgb, 0.0, 1.0)
+            if face is not None:
+                dif = dif * face
             if compact:
                 rgb = jnp.round(rgb * 255.0).astype(jnp.uint8)
                 dif = dif.astype(jnp.float16)
             return rgb, dif
 
-        self._fwd = jax.jit(fwd)
-        # warm the executable at the fixed serving shape
-        z = jnp.zeros((self.batch_size, s, s, 3), jnp.float32)
-        zr = jnp.zeros((self.batch_size, s, s, 6), jnp.float32)
-        self._fwd(self.variables, z, z, zr)
+        def apply_gen(variables, img, uv, reg):
+            if cfg.variant == "tsm":
+                return self.gen.apply(variables, img, uv, reg, frame=1,
+                                      share=True, train=False)
+            return self.gen.apply(variables, img, uv, reg, train=False)
+
+        if self.device_geometry:
+            from blindshadowremoval_tpu.geometry.triangulation import (
+                device_geometry_maps,
+            )
+
+            def fwd(variables, img, lm, face_pts, uv_tris, face_tris,
+                    reg_tris):
+                maps = device_geometry_maps(lm, face_pts, uv_tris,
+                                            face_tris, reg_tris, s)
+                out = apply_gen(variables, img, maps["uv"], maps["reg"])
+                return finish(out, maps["face"])
+
+            self._fwd = jax.jit(fwd)
+            b = self.batch_size
+            from blindshadowremoval_tpu.geometry.triangulation import (
+                _MAX_TRIANGLES,
+            )
+            self._fwd(self.variables,
+                      jnp.zeros((b, s, s, 3), jnp.float32),
+                      jnp.zeros((b, 68, 2), jnp.float32),
+                      jnp.zeros((b, 85, 2), jnp.float32),
+                      jnp.full((b, _MAX_TRIANGLES, 3), -1, jnp.int32),
+                      jnp.full((b, _MAX_TRIANGLES, 3), -1, jnp.int32),
+                      jnp.full((b, _MAX_TRIANGLES, 3), -1, jnp.int32))
+        else:
+            def fwd(variables, img, uv, reg):
+                # face gating happens on host in this path (face map is a
+                # host product anyway)
+                return finish(apply_gen(variables, img, uv, reg), None)
+
+            self._fwd = jax.jit(fwd)
+            z = jnp.zeros((self.batch_size, s, s, 3), jnp.float32)
+            zr = jnp.zeros((self.batch_size, s, s, 6), jnp.float32)
+            self._fwd(self.variables, z, z, zr)
 
     # ----------------------------------------------------------- pipeline
     def preprocess(self, image: np.ndarray, landmarks: np.ndarray) -> dict:
-        """Host side: crop/align one face and build its geometry maps."""
+        """Host side per request: crop/align, then either tiny geometry
+        primitives (device_geometry) or full host-rasterized maps."""
         s = self.config.img_size
         crop, lm, _, box = face_crop_and_resize(image, landmarks, s)
+        crop = np.asarray(crop, np.float32)
+        if self.device_geometry:
+            from blindshadowremoval_tpu.data.dataset import (
+                _geometry_primitives,
+            )
+
+            return {"img": crop, "box": box, **_geometry_primitives(lm)}
         return {
             "img": crop,
             "uv": generate_uv_map(lm, s),
@@ -98,15 +144,23 @@ class ShadowRemovalService:
             chunk = views[start:start + bs]
             n = len(chunk)
 
-            def stack(key):
-                arr = np.stack([v[key] for v in chunk]).astype(np.float32)
+            def stack(key, fill=0.0):
+                arr = np.stack([v[key] for v in chunk])
+                if not np.issubdtype(arr.dtype, np.integer):
+                    arr = arr.astype(np.float32)
                 if n < bs:   # pad the tail batch to the warm shape
-                    pad = np.zeros((bs - n,) + arr.shape[1:], np.float32)
+                    pad = np.full((bs - n,) + arr.shape[1:], fill, arr.dtype)
                     arr = np.concatenate([arr, pad])
                 return jnp.asarray(arr)
 
-            rgb, dif = self._fwd(self.variables, stack("img"), stack("uv"),
-                                 stack("reg"))
+            if self.device_geometry:
+                rgb, dif = self._fwd(
+                    self.variables, stack("img"), stack("lm"),
+                    stack("face_pts"), stack("uv_tris", -1),
+                    stack("face_tris", -1), stack("reg_tris", -1))
+            else:
+                rgb, dif = self._fwd(self.variables, stack("img"),
+                                     stack("uv"), stack("reg"))
             rgb = np.asarray(rgb)[:n]
             dif = np.asarray(dif)[:n]
             if self.compact_output:
@@ -114,8 +168,11 @@ class ShadowRemovalService:
                 dif = dif.astype(np.float32)
             for i, v in enumerate(chunk):
                 results.append({
+                    # device_geometry gates mask_pred by the face map
+                    # on device; the host path multiplies here
                     "pred": rgb[i],
-                    "mask_pred": dif[i] * v["face"],
+                    "mask_pred": (dif[i] if self.device_geometry
+                                  else dif[i] * v["face"]),
                     "box": v["box"],
                 })
         return results

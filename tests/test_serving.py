@@ -40,10 +40,11 @@ def test_serving_end_to_end():
     # identical inputs -> identical outputs regardless of batch position
     np.testing.assert_allclose(out[0]["pred"], out[4]["pred"], atol=1e-5)
 
-    # compact egress (uint8 preds + f16 maps on the wire) matches the f32
-    # path within quantization (1/255 on preds)
+    # the default path (device-rasterized geometry + uint8/f16 egress)
+    # matches the host-map f32 path within output quantization (1/255)
     svc_full = ShadowRemovalService(cfg, variables, batch_size=4,
-                                    compact_output=False)
+                                    compact_output=False,
+                                    device_geometry=False)
     ref = svc_full.remove_shadows([img], [lm])[0]
     assert ref["pred"].dtype == np.float32
     np.testing.assert_allclose(out[0]["pred"], ref["pred"], atol=1.0 / 255)
