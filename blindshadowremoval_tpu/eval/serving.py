@@ -55,7 +55,11 @@ class ShadowRemovalService:
         cfg = self.config
         self.gen = build_generator(cfg)
         s = cfg.img_size
-        compact = self.compact_output
+        # snapshot the flags: _fwd is compiled against them here, so the
+        # call paths below must read the same values even if a caller
+        # mutates the public fields after construction
+        compact = self._compact = self.compact_output
+        self._devgeo = self.device_geometry
 
         def finish(out, face):
             if cfg.variant == "rgb":
@@ -76,8 +80,9 @@ class ShadowRemovalService:
                                       share=True, train=False)
             return self.gen.apply(variables, img, uv, reg, train=False)
 
-        if self.device_geometry:
+        if self._devgeo:
             from blindshadowremoval_tpu.geometry.triangulation import (
+                _MAX_TRIANGLES,
                 device_geometry_maps,
             )
 
@@ -90,9 +95,6 @@ class ShadowRemovalService:
 
             self._fwd = jax.jit(fwd)
             b = self.batch_size
-            from blindshadowremoval_tpu.geometry.triangulation import (
-                _MAX_TRIANGLES,
-            )
             self._fwd(self.variables,
                       jnp.zeros((b, s, s, 3), jnp.float32),
                       jnp.zeros((b, 68, 2), jnp.float32),
@@ -118,7 +120,7 @@ class ShadowRemovalService:
         s = self.config.img_size
         crop, lm, _, box = face_crop_and_resize(image, landmarks, s)
         crop = np.asarray(crop, np.float32)
-        if self.device_geometry:
+        if self._devgeo:
             from blindshadowremoval_tpu.data.dataset import (
                 _geometry_primitives,
             )
@@ -153,7 +155,7 @@ class ShadowRemovalService:
                     arr = np.concatenate([arr, pad])
                 return jnp.asarray(arr)
 
-            if self.device_geometry:
+            if self._devgeo:
                 rgb, dif = self._fwd(
                     self.variables, stack("img"), stack("lm"),
                     stack("face_pts"), stack("uv_tris", -1),
@@ -163,7 +165,7 @@ class ShadowRemovalService:
                                      stack("uv"), stack("reg"))
             rgb = np.asarray(rgb)[:n]
             dif = np.asarray(dif)[:n]
-            if self.compact_output:
+            if self._compact:
                 rgb = rgb.astype(np.float32) / 255.0
                 dif = dif.astype(np.float32)
             for i, v in enumerate(chunk):
@@ -171,7 +173,7 @@ class ShadowRemovalService:
                     # device_geometry gates mask_pred by the face map
                     # on device; the host path multiplies here
                     "pred": rgb[i],
-                    "mask_pred": (dif[i] if self.device_geometry
+                    "mask_pred": (dif[i] if self._devgeo
                                   else dif[i] * v["face"]),
                     "box": v["box"],
                 })

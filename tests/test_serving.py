@@ -52,6 +52,34 @@ def test_serving_end_to_end():
                                atol=2e-3)
 
 
+def test_serving_device_geometry_synthetic():
+    """The default path (device geometry + compact egress) on synthetic
+    landmarks — coverage that doesn't depend on the /root/reference fixture."""
+    from blindshadowremoval_tpu.eval.serving import ShadowRemovalService
+    from blindshadowremoval_tpu.train.trainer import build_generator
+
+    cfg = get_config("in_the_wild", img_size=S, compute_dtype="float32")
+    gen = build_generator(cfg)
+    z = np.zeros((1, S, S, 3), np.float32)
+    variables = gen.init(jax.random.PRNGKey(0), z, z,
+                         np.zeros((1, S, S, 6), np.float32))
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(400, 400, 3)).astype(np.float32)
+    # plausible face: landmarks spread over a central box (non-degenerate
+    # for qhull), jaw ordering irrelevant to the triangulation
+    lm = rng.uniform(120, 280, size=(68, 2)).astype(np.float32)
+
+    svc = ShadowRemovalService(cfg, variables, batch_size=2)
+    out = svc.remove_shadows([img] * 3, [lm] * 3)   # full batch + padded tail
+    assert len(out) == 3
+    for r in out:
+        assert r["pred"].shape == (S, S, 3) and r["pred"].dtype == np.float32
+        assert np.isfinite(r["pred"]).all()
+        assert np.isfinite(r["mask_pred"]).all()
+    np.testing.assert_allclose(out[0]["pred"], out[2]["pred"], atol=1e-5)
+
+
 def test_host_local_batch_single_process():
     from blindshadowremoval_tpu.parallel.distributed import (
         global_mesh,
