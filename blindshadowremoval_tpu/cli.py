@@ -49,6 +49,15 @@ def build_parser():
         p = sub.add_parser(name, help=helptext)
         p.add_argument("--data", required=True, help="glob of test dirs")
         _add_common(p)
+        if name == "infer":
+            p.add_argument(
+                "--engine", choices=("evaluator", "serving"),
+                default="evaluator",
+                help="'evaluator' mirrors the reference's per-image "
+                     "testFFHQ loop; 'serving' batches all images through "
+                     "the warm ShadowRemovalService (device-rasterized "
+                     "geometry + quantized egress, ~8x faster end-to-end; "
+                     "gsc/rgb only)")
         if name in ("infer", "ucb"):
             p.add_argument(
                 "--eval-views", type=int, default=10,
@@ -164,6 +173,8 @@ def main(argv=None):
         return ds
 
     if args.cmd == "infer":
+        if getattr(args, "engine", "evaluator") == "serving":
+            return run_infer_serving(cfg, variables, args)
         ds = _check(Dataset(cfg, "test", seed=args.seed))
         InTheWildEvaluator(cfg, variables).run(ds)
     elif args.cmd == "ucb":
@@ -180,6 +191,48 @@ def main(argv=None):
         ds = Dataset(cfg, "test", dset="sfw", seed=args.seed)
         SFWVideoEvaluator(cfg, variables).run(ds, args.export_bbox)
     return 0
+
+
+def run_infer_serving(cfg, variables, args):
+    """In-the-wild inference through the batched serving engine.
+
+    Same inputs and result strips as the evaluator path (testFFHQ,
+    train_test_GSC.py:840-890) but all images stream through one warm
+    fixed-shape forward with device-rasterized geometry and quantized
+    egress (docs/perf.md) instead of a per-image eval loop."""
+    import glob as _glob
+
+    import cv2
+
+    from blindshadowremoval_tpu.eval.serving import ShadowRemovalService
+    from blindshadowremoval_tpu.utils.logging import TrainLogger
+
+    names, images, lms = [], [], []
+    for pattern in cfg.data_dirs_test:
+        for folder in sorted(_glob.glob(pattern)):
+            for lm_path in sorted(_glob.glob(folder + "/*.npy")):
+                img = cv2.imread(lm_path.rsplit(".", 1)[0] + ".png")
+                if img is None:
+                    continue
+                names.append(lm_path)
+                images.append(
+                    cv2.cvtColor(img, cv2.COLOR_BGR2RGB) / 255.0)
+                lms.append(np.load(lm_path))
+    if not names:
+        print(f"no samples matched {cfg.data_dirs_test} "
+              "(need <name>.png + <name>.npy landmark pairs)",
+              file=sys.stderr)
+        return
+    svc = ShadowRemovalService(
+        cfg, variables, batch_size=min(64, max(1, len(names))))
+    results = svc.remove_shadows(images, lms)
+    log = TrainLogger(cfg.checkpoint_dir)
+    for name, r in zip(names, results):
+        log.save_result_image(
+            [r["img"][None], r["pred"][None], r["mask_pred"][None] * 2.0],
+            name)
+    print(f"wrote {len(results)} result strips to "
+          f"{cfg.checkpoint_dir}/test/")
 
 
 def run_train(cfg, args):

@@ -176,5 +176,6 @@ class ShadowRemovalService:
                     "mask_pred": (dif[i] if self._devgeo
                                   else dif[i] * v["face"]),
                     "box": v["box"],
+                    "img": v["img"],        # the cropped/aligned input
                 })
         return results
