@@ -201,7 +201,11 @@ class Dataset:
 
     def _test_view(self, lm_path: str, gt: Optional[np.ndarray],
                    extra: Optional[np.ndarray] = None):
-        """One eval view: crop + geometry; gt rides through the same crop."""
+        """One eval view: crop + geometry; gt rides through the same crop.
+
+        With `config.device_geometry` the view carries landmarks + Delaunay
+        topologies instead of host-rasterized maps (the evaluator's jitted
+        forward rasterizes them in-graph, like the train step)."""
         cfg = self.config
         s = cfg.img_size
         img = _imread_rgb(lm_path.rsplit(".", 1)[0] + ".png")
@@ -210,7 +214,10 @@ class Dataset:
         stacked = np.concatenate(chans, axis=2)
         crop, lm, lm_mirror, box = face_crop_and_resize(
             stacked, np.load(lm_path), s)
-        g = _geometry(lm, s)
+        if getattr(cfg, "device_geometry", False):
+            g = _geometry_primitives(lm)
+        else:
+            g = _geometry(lm, s)
         view = {"img": crop[..., :3], **g}
         ofs = 3
         if gt is not None:
@@ -233,7 +240,8 @@ class Dataset:
             ref = pool[int(self.rng.integers(0, len(pool)))]
             v, _, _ = self._test_view(ref, gt)
             views.append(v)
-        batch = {k: np.stack([v[k] for v in views]).astype(np.float32)
+        batch = {k: np.stack([v[k] for v in views]).astype(
+                     np.int32 if k.endswith("_tris") else np.float32)
                  for k in views[0]}
         return batch, np.asarray(box, np.float32)
 
@@ -257,7 +265,8 @@ class Dataset:
             ref = pool[int(self.rng.integers(0, len(pool)))]
             v, _, _ = self._test_view(ref, gt)
             views.append(v)
-        batch = {k: np.stack([v[k] for v in views]).astype(np.float32)
+        batch = {k: np.stack([v[k] for v in views]).astype(
+                     np.int32 if k.endswith("_tris") else np.float32)
                  for k in views[0]}
         return batch, np.asarray(box, np.float32)
 
@@ -273,11 +282,15 @@ class Dataset:
         extra = np.concatenate([cmap, label], axis=2)
 
         v, box, lm_mirror = self._test_view(lm_path, None, extra)
-        gm = _geometry(lm_mirror, s)
+        if getattr(cfg, "device_geometry", False):
+            gm = _geometry_primitives(lm_mirror)
+        else:
+            gm = _geometry(lm_mirror, s)
         img_m = v["img"][:, ::-1]
         extra_m = v["extra"][:, ::-1]
         view_m = {"img": img_m, "extra": extra_m, **gm}
-        batch = {k: np.stack([v[k], view_m[k]]).astype(np.float32)
+        batch = {k: np.stack([v[k], view_m[k]]).astype(
+                     np.int32 if k.endswith("_tris") else np.float32)
                  for k in v}
         batch["cmap"] = batch["extra"][..., :3]
         batch["label"] = batch["extra"][..., 3:4]
@@ -320,7 +333,8 @@ class Dataset:
             views.append(v)
             if box is None:
                 box = b
-        batch = {k: np.stack([v[k] for v in views]).astype(np.float32)
+        batch = {k: np.stack([v[k] for v in views]).astype(
+                     np.int32 if k.endswith("_tris") else np.float32)
                  for k in views[0]}
         return batch, np.asarray(box, np.float32)
 

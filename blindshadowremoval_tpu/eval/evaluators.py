@@ -71,7 +71,7 @@ class Evaluator:
         is_tsm = cfg.variant == "tsm"
         is_rgb = cfg.variant == "rgb"
 
-        def fwd(variables, img, uv, reg, frame, share):
+        def apply_gen(variables, img, uv, reg, frame, share):
             if is_tsm:
                 return self.gen.apply(variables, img, uv, reg, frame=frame,
                                       share=share, train=False)
@@ -86,7 +86,28 @@ class Evaluator:
                 return gray, out, jnp.zeros_like(out), dif
             return out
 
+        if getattr(cfg, "device_geometry", False):
+            # rasterize UV/offset/face maps in-graph from landmarks +
+            # Delaunay topologies (what the train step does); the dataset
+            # ships primitives instead of host-rasterized maps
+            from blindshadowremoval_tpu.geometry.triangulation import (
+                device_geometry_maps,
+            )
+
+            def fwd(variables, img, lm, face_pts, uv_tris, face_tris,
+                    reg_tris, frame, share):
+                maps = device_geometry_maps(lm, face_pts, uv_tris,
+                                            face_tris, reg_tris,
+                                            cfg.img_size)
+                out = apply_gen(variables, img, maps["uv"], maps["reg"],
+                                frame, share)
+                return out, maps["face"]
+        else:
+            def fwd(variables, img, uv, reg, frame, share):
+                return apply_gen(variables, img, uv, reg, frame, share), None
+
         self._fwd = jax.jit(fwd, static_argnames=("frame", "share"))
+        self._devgeo = getattr(cfg, "device_geometry", False)
         # one jitted call for both metrics: eagerly dispatched, SSIM's ~20
         # ops each pay a device roundtrip (seconds per image on remote TPU)
         self._metrics = jax.jit(
@@ -98,20 +119,32 @@ class Evaluator:
         return float(s[0]), float(p[0])
 
     def forward(self, batch: dict, frame: int = 1, share: bool = True):
-        """batch: dict of [V,S,S,C] views.  Returns (gs, rgb, mask22, dif)
-        as numpy arrays; `dif` is the shadow-probability map `mask_pred`."""
-        out = self._fwd(self.variables, jnp.asarray(batch["img"]),
-                        jnp.asarray(batch["uv"]), jnp.asarray(batch["reg"]),
-                        frame, share)
-        return tuple(np.asarray(o) for o in out)
+        """batch: dict of [V,S,S,C] views.  Returns (gs, rgb, mask22, dif,
+        face) as numpy arrays; `dif` is the shadow-probability map
+        `mask_pred`, `face` the soft face region (from the batch, or
+        rasterized in-graph under config.device_geometry)."""
+        if self._devgeo:
+            out, face = self._fwd(
+                self.variables, jnp.asarray(batch["img"]),
+                jnp.asarray(batch["lm"]), jnp.asarray(batch["face_pts"]),
+                jnp.asarray(batch["uv_tris"]),
+                jnp.asarray(batch["face_tris"]),
+                jnp.asarray(batch["reg_tris"]), frame, share)
+            face = np.asarray(face)
+        else:
+            out, _ = self._fwd(self.variables, jnp.asarray(batch["img"]),
+                               jnp.asarray(batch["uv"]),
+                               jnp.asarray(batch["reg"]), frame, share)
+            face = np.asarray(batch["face"])
+        return tuple(np.asarray(o) for o in out) + (face,)
 
 
 class InTheWildEvaluator(Evaluator):
     """testFFHQ (train_test_GSC.py:840-890)."""
 
     def run_one(self, batch: dict, box: np.ndarray, name: str):
-        _, rgb, _, mask_pred = self.forward(batch)
-        mask_pred = mask_pred * batch["face"]
+        _, rgb, _, mask_pred, face = self.forward(batch)
+        mask_pred = mask_pred * face
         rgb = np.clip(rgb, 0.0, 1.0)
         figs = [batch["img"][:1], rgb[:1], mask_pred[:1] * 2.0]
         path = self.logger.save_result_image(figs, name)
@@ -151,7 +184,7 @@ class UCBEvaluator(Evaluator):
                 params: PostprocessParams = PostprocessParams()):
         s = self.config.img_size
         size = int(min(box[3] - box[1], s))
-        _, rgb, _, mask_pred = self.forward(batch, frame=4)
+        _, rgb, _, mask_pred, _ = self.forward(batch, frame=4)
 
         # anchor view, resized into the crop box then padded back to 256
         # (train_test_GSC.py:435-476)
@@ -193,8 +226,8 @@ class SFWEvaluator(Evaluator):
 
     def run_one(self, batch: dict, box: np.ndarray, name: str,
                 frame: int = 2, share: bool = True):
-        _, rgb, _, mask_pred = self.forward(batch, frame=frame, share=share)
-        mask_pred = mask_pred * batch["face"]
+        _, rgb, _, mask_pred, face = self.forward(batch, frame=frame, share=share)
+        mask_pred = mask_pred * face
         rgb = np.clip(rgb, 0.0, 1.0)
 
         label_raw = batch["label"][0]
@@ -225,8 +258,8 @@ class SFWVideoEvaluator(Evaluator):
 
     def run_one(self, batch: dict, box: np.ndarray, name: str,
                 export_bbox_dir: Optional[str] = None):
-        _, rgb, _, mask_pred = self.forward(batch, frame=10)
-        mask_pred = mask_pred * batch["face"]
+        _, rgb, _, mask_pred, face = self.forward(batch, frame=10)
+        mask_pred = mask_pred * face
         rgb = np.clip(rgb, 0.0, 1.0)
         figs = [batch["img"][:1], rgb[:1], mask_pred[:1] * 2]
         self.logger.save_result_image(figs, name)

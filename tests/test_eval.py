@@ -53,6 +53,30 @@ def test_ffhq_dataset_and_eval(tmp_path):
     assert out[0]["pred"].shape == (S, S, 3)
 
 
+@pytest.mark.skipif(not os.path.isdir(SAMPLE), reason="sample fixture absent")
+def test_ffhq_eval_device_geometry_parity(tmp_path):
+    """Eval with in-graph geometry rasterization matches the host-map path
+    (same seed -> same views; the rasterizers are numerically identical)."""
+    from blindshadowremoval_tpu.eval.evaluators import InTheWildEvaluator
+
+    outs = []
+    for devgeo in (False, True):
+        cfg = _small_config(
+            tmp_path / f"devgeo{devgeo}", "in_the_wild",
+            data_dirs_test=("/root/reference/sample_imgs/*",),
+            eval_views=1, device_geometry=devgeo)
+        ds = Dataset(cfg, "test", seed=0)
+        batch, box, name = next(iter(ds))
+        if devgeo:
+            assert "uv" not in batch and batch["uv_tris"].dtype == np.int32
+        ev = InTheWildEvaluator(cfg, _variables(cfg))
+        outs.append(ev.run_one(batch, box, name))
+    np.testing.assert_allclose(outs[0]["pred"], outs[1]["pred"],
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(outs[0]["mask_pred"], outs[1]["mask_pred"],
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_pack_unpack_roundtrip(rng):
     view = {
         "img": rng.uniform(size=(2, 8, 8, 3)).astype(np.float32),
