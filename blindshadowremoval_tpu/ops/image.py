@@ -20,10 +20,13 @@ import numpy as np
 _GRAY_W = (0.2989, 0.5870, 0.1140)
 
 # BT.601 YUV matrix rows as inlined by the reference (utils.py:38-43).
-_YUV = jnp.array(
+# numpy on purpose: a module-scope jnp.array would instantiate a jax backend
+# at import time, which breaks backend selection for downstream importers
+# (e.g. __graft_entry__.dryrun_multichip must force CPU before first use).
+_YUV = np.array(
     [[0.299000, 0.587000, 0.114000],
      [-0.168736, -0.331264, 0.500000],
-     [0.500000, -0.418688, -0.081312]], jnp.float32)
+     [0.500000, -0.418688, -0.081312]], np.float32)
 
 
 def rgb_to_grayscale(x: jax.Array) -> jax.Array:

@@ -13,13 +13,17 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from blindshadowremoval_tpu.ops.filters import gaussian_blur
 
 _MAX_SS_SIGMA = 15.0     # utils.py:16
 
 # (sigma multiplier, r weight, g weight, b weight) per level (utils.py:695-700)
-_SS_WEIGHTS = jnp.array(
+# numpy on purpose: a module-scope jnp.array would instantiate a jax backend
+# at import time, which breaks backend selection for downstream importers
+# (e.g. __graft_entry__.dryrun_multichip must force CPU before first use).
+_SS_WEIGHTS = np.array(
     [[0.042, 0.220, 0.437, 0.635],
      [0.220, 0.101, 0.355, 0.365],
      [0.433, 0.119, 0.208, 0.000],
