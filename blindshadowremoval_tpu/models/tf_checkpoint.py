@@ -220,26 +220,16 @@ def verify_against_index(ckpt_prefix: str, variables: dict,
             "shape_mismatch": mismatch, "unmapped_tf": unmapped}
 
 
-def load_tf_checkpoint(ckpt_prefix: str, variables: dict, mapping) -> dict:
-    """Restore TF checkpoint values into a (copied) flax variables dict.
-
-    Requires the checkpoint `.data` shards (the repo ships only indexes);
-    raises with a clear message when blobs are missing.
-    """
+def _apply_weights(get_tensor: Callable[[str], np.ndarray], variables: dict,
+                   mapping) -> dict:
+    """Apply mapped TF tensors (fetched via `get_tensor(tf_name)`) onto a
+    (copied) flax variables dict."""
     import jax.numpy as jnp
-    import tensorflow as tf
 
-    reader = tf.train.load_checkpoint(ckpt_prefix)
     out: dict = {}
     for flax_path, tf_name, tr, *rest in mapping:
         dst = rest[0] if rest else None
-        try:
-            value = reader.get_tensor(tf_name + VAL_SUFFIX)
-        except Exception as e:  # stripped blobs
-            raise RuntimeError(
-                f"cannot read {tf_name!r} from {ckpt_prefix!r} — the "
-                "reference repo ships index files only "
-                "(.MISSING_LARGE_BLOBS); supply a full checkpoint") from e
+        value = get_tensor(tf_name)
         if dst is None:
             _tree_set(out, flax_path, jnp.asarray(tr(value)))
             continue
@@ -265,3 +255,78 @@ def load_tf_checkpoint(ckpt_prefix: str, variables: dict, mapping) -> dict:
         return merged
 
     return merge({k: dict(v) for k, v in variables.items()}, out)
+
+
+def load_tf_checkpoint(ckpt_prefix: str, variables: dict, mapping) -> dict:
+    """Restore TF checkpoint values into a (copied) flax variables dict.
+
+    Requires the checkpoint `.data` shards (the repo ships only indexes);
+    raises with a clear message when blobs are missing.
+    """
+    import tensorflow as tf
+
+    reader = tf.train.load_checkpoint(ckpt_prefix)
+
+    def get_tensor(tf_name: str) -> np.ndarray:
+        try:
+            return reader.get_tensor(tf_name + VAL_SUFFIX)
+        except Exception as e:  # stripped blobs
+            raise RuntimeError(
+                f"cannot read {tf_name!r} from {ckpt_prefix!r} — the "
+                "reference repo ships index files only "
+                "(.MISSING_LARGE_BLOBS); supply a full checkpoint") from e
+
+    return _apply_weights(get_tensor, variables, mapping)
+
+
+def load_weights_dict(weights: dict, variables: dict, mapping) -> dict:
+    """Apply a {tf_name: array} dict (e.g. from `synthetic_tf_weights` or a
+    converted checkpoint) onto a flax variables dict via the mapping."""
+    return _apply_weights(lambda name: weights[name], variables, mapping)
+
+
+def tf_shape_for(flax_shape: tuple, tr: Callable) -> tuple:
+    """TF-side variable shape whose `tr(...)` lands on `flax_shape`.
+
+    Both transforms in this module are shape-involutions: identity, and the
+    ConvTranspose last-two-axes swap (the spatial flip keeps the shape)."""
+    if tr is _convt_transform:
+        return tuple(flax_shape[:2]) + (flax_shape[3], flax_shape[2])
+    return tuple(flax_shape)
+
+
+def synthetic_tf_weights(variables: dict, mapping, seed: int = 0) -> dict:
+    """Deterministic random {tf_name: np.float32 array} covering a mapping.
+
+    Used by the model-level parity harness (tools/make_tf_ref_goldens.py and
+    tests/test_tf_model_parity.py): both the TF reference model and the Flax
+    model are loaded with THESE weights — a pure function of (tf_name, seed)
+    — so forward outputs can be compared without shipping weight blobs.
+    Values are sized so 40+ stacked conv+BN layers stay numerically sane at
+    inference time: glorot-ish kernels, near-identity BN statistics.
+    """
+    import zlib
+
+    out = {}
+    for flax_path, tf_name, tr, *rest in mapping:
+        dst = rest[0] if rest else None
+        leaf = np.asarray(_tree_get(variables, flax_path))
+        if dst is not None:
+            leaf = leaf[..., dst[0]:dst[1]]
+        shape = tf_shape_for(leaf.shape, tr)
+        rng = np.random.default_rng(
+            (zlib.crc32(tf_name.encode()) << 8) ^ seed)
+        leafname = tf_name.rsplit("/", 1)[-1]
+        if leafname == "kernel" and len(shape) == 4:
+            fan_in = shape[0] * shape[1] * shape[2]
+            fan_out = shape[0] * shape[1] * shape[3]
+            std = np.sqrt(2.0 / (fan_in + fan_out))
+            val = rng.normal(0.0, std, shape)
+        elif leafname == "gamma":
+            val = 1.0 + rng.normal(0.0, 0.05, shape)
+        elif leafname == "moving_variance":
+            val = rng.uniform(0.5, 1.5, shape)
+        else:  # bias / beta / moving_mean
+            val = rng.normal(0.0, 0.05, shape)
+        out[tf_name] = val.astype(np.float32)
+    return out
