@@ -114,12 +114,26 @@ def _res_bottleneck_entries(tf_prefix: str):
     return entries
 
 
-def generator_mapping(n_res: int = 6):
-    """[(flax_path, tf_name, transform)] for the GSC generator.
+def generator_mapping(variant: str = "gsc", n_res: int = 6):
+    """[(flax_path, tf_name, transform)] for a generator variant.
 
     flax_path is (collection, module..., leaf) relative to the generator's
-    variables dict.
+    variables dict.  Variants and their shipped checkpoint contracts:
+
+      * "gsc"  — log/...-reweight-gradients/ckpt-94 (model.py:198-290)
+      * "tsm"  — log/...-with-TSM/ckpt-110 (model_with_TSM.py:230-325).
+        IDENTICAL variable names to gsc — the weightless ShareLayer only
+        widens the inputs of res0/res3/up1/clr_up1 (e.g. res_stack/0/conv1
+        is [1,1,291,128] instead of [1,1,99,128]); shapes are derived from
+        the caller's Flax variables, so one entry list serves both.
+      * "rgb"  — log/...-RGB-model/ckpt-130 (model_RGB.py).  No clr_*
+        branch (those layers are constructed but never called, so TF never
+        built them into the checkpoint), conv2/conv3 are SEQUENTIAL 3-ch
+        convs (not parallel 1-ch heads — no head fusion), doubled up-conv
+        widths.
     """
+    if variant not in ("gsc", "tsm", "rgb"):
+        raise ValueError(f"unknown generator variant {variant!r}")
     entries = []
 
     def add(flax_module: str, triples):
@@ -127,22 +141,35 @@ def generator_mapping(n_res: int = 6):
             entries.append(((sub[0], flax_module) + sub[1:], tf_name, tr))
 
     add("conv1", _conv_block_entries("generator/conv1", True))
-    # conv2/conv3 (the tanh-gain and offset heads, no norm) are fused into
-    # the 2-channel "head" conv; each TF variable lands in a channel slice
-    for i, tf_layer in enumerate(("conv2", "conv3")):
-        for leaf in ("kernel", "bias"):
-            entries.append(
-                (("params", "head", "Conv_0", leaf),
-                 f"generator/{tf_layer}/conv/{leaf}", _identity, (i, i + 1)))
+    if variant == "rgb":
+        add("conv2", _conv_block_entries("generator/conv2", False))
+        add("conv3", _conv_block_entries("generator/conv3", False))
+    else:
+        # conv2/conv3 (the tanh-gain and offset heads, no norm) are fused
+        # into the 2-channel "head" conv; each TF variable lands in a
+        # channel slice
+        for i, tf_layer in enumerate(("conv2", "conv3")):
+            for leaf in ("kernel", "bias"):
+                entries.append(
+                    (("params", "head", "Conv_0", leaf),
+                     f"generator/{tf_layer}/conv/{leaf}", _identity,
+                     (i, i + 1)))
     for i in (1, 2, 3):
         add(f"down{i}", _conv_block_entries(f"generator/down{i}", True))
         add(f"up{i}", _conv_block_entries(f"generator/up{i}", True,
                                           transpose=True))
-        add(f"clr_up{i}", _conv_block_entries(f"generator/clr_up{i}", True,
-                                              transpose=True))
-    add("clr_conv1", _conv_block_entries("generator/clr_conv1", True))
-    add("clr_conv2", _conv_block_entries("generator/clr_conv2", True))
-    add("clr_conv3", _conv_block_entries("generator/clr_conv3", False))
+        if variant != "rgb":
+            add(f"clr_up{i}", _conv_block_entries(f"generator/clr_up{i}",
+                                                  True, transpose=True))
+    if variant != "rgb":
+        add("clr_conv1", _conv_block_entries("generator/clr_conv1", True))
+        add("clr_conv2", _conv_block_entries("generator/clr_conv2", True))
+        add("clr_conv3", _conv_block_entries("generator/clr_conv3", False))
+    if variant == "rgb":
+        # the single-branch ablation only ever calls res_stack[0..n_res//2)
+        # (model_RGB.py keeps just the first loop), so TF never built the
+        # rest into ckpt-130
+        n_res = n_res // 2
     for i in range(n_res):
         for sub, tf_name, tr in _res_bottleneck_entries(
                 f"generator/res_stack/{i}"):

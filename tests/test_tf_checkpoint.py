@@ -18,9 +18,11 @@ from blindshadowremoval_tpu.models.tf_checkpoint import (
     _tree_get,
 )
 
-CKPT = ("/root/reference/log/FSR-OG-perlin-mask-OG-loss-weights-l1-recon-"
-        "fix-BGR-to-RGB-fix-VGG-greater-augmentation-reweight-gradients/"
-        "ckpt-94")
+_LOG = ("/root/reference/log/FSR-OG-perlin-mask-OG-loss-weights-l1-recon-"
+        "fix-BGR-to-RGB-fix-VGG-greater-augmentation-reweight-gradients")
+CKPT = _LOG + "/ckpt-94"
+CKPT_TSM = _LOG + "-with-TSM/ckpt-110"
+CKPT_RGB = _LOG + "-RGB-model/ckpt-130"
 
 needs_ckpt = pytest.mark.skipif(
     not os.path.isfile(CKPT + ".index"), reason="reference ckpt index absent")
@@ -32,6 +34,24 @@ def _gen_variables():
     gen = GSCGenerator()
     img = np.zeros((1, 256, 256, 3), np.float32)
     reg = np.zeros((1, 256, 256, 6), np.float32)
+    return gen.init(jax.random.PRNGKey(0), img, img, reg)
+
+
+def _tsm_variables():
+    from blindshadowremoval_tpu.models.generator_tsm import TSMGenerator
+
+    gen = TSMGenerator()
+    img = np.zeros((2, 64, 64, 3), np.float32)
+    reg = np.zeros((2, 64, 64, 6), np.float32)
+    return gen.init(jax.random.PRNGKey(0), img, img, reg, frame=2)
+
+
+def _rgb_variables():
+    from blindshadowremoval_tpu.models.generator_rgb import RGBGenerator
+
+    gen = RGBGenerator()
+    img = np.zeros((1, 64, 64, 3), np.float32)
+    reg = np.zeros((1, 64, 64, 6), np.float32)
     return gen.init(jax.random.PRNGKey(0), img, img, reg)
 
 
@@ -75,6 +95,57 @@ def test_generator_bridge_complete():
     assert report["shape_mismatch"] == []
     assert gen_unmapped == []
     assert report["matched"] == 258   # observed generator variable count
+
+
+@needs_ckpt
+def test_generator_bridge_complete_tsm():
+    """ckpt-110: same variable names as gsc; the ShareLayer concat widens
+    res0/res3/up1/clr_up1 inputs — shapes come from the TSM Flax tree."""
+    pytest.importorskip("tensorflow")
+    from blindshadowremoval_tpu.models.tf_checkpoint import verify_against_index
+
+    variables = _tsm_variables()
+    report = verify_against_index(CKPT_TSM, variables,
+                                  generator_mapping("tsm"))
+    gen_unmapped = [n for n in report["unmapped_tf"]
+                    if n.startswith("generator/")]
+    assert report["missing_in_tf"] == []
+    assert report["shape_mismatch"] == []
+    assert gen_unmapped == []
+    assert report["matched"] == 258
+
+
+@needs_ckpt
+def test_generator_bridge_complete_rgb():
+    """ckpt-130: no clr_* branch (never built by TF), sequential 3-channel
+    conv2/conv3 (no head fusion), doubled up-conv widths."""
+    pytest.importorskip("tensorflow")
+    from blindshadowremoval_tpu.models.tf_checkpoint import verify_against_index
+
+    variables = _rgb_variables()
+    report = verify_against_index(CKPT_RGB, variables,
+                                  generator_mapping("rgb"))
+    gen_unmapped = [n for n in report["unmapped_tf"]
+                    if n.startswith("generator/")]
+    assert report["missing_in_tf"] == []
+    assert report["shape_mismatch"] == []
+    assert gen_unmapped == []
+    assert report["matched"] == 136   # observed ckpt-130 generator count
+
+
+@needs_ckpt
+def test_discriminator_bridge_complete_tsm_rgb_checkpoints():
+    """The discriminator trio contract holds across all three shipped
+    checkpoints (the variants share the discriminator architecture)."""
+    pytest.importorskip("tensorflow")
+    from blindshadowremoval_tpu.models.tf_checkpoint import verify_against_index
+
+    variables = _disc_variables()
+    for ckpt in (CKPT_TSM, CKPT_RGB):
+        report = verify_against_index(ckpt, variables,
+                                      discriminator_mapping())
+        assert report["missing_in_tf"] == [], ckpt
+        assert report["shape_mismatch"] == [], ckpt
 
 
 @needs_ckpt

@@ -82,3 +82,88 @@ def test_gsc_forward_parity_train_mode(gsc_setup):
         err = np.abs(np.asarray(out) - ref).max()
         tol = _tolerance(golden, "train", name)
         assert err < tol, f"{name}: max abs err {err} (tol {tol})"
+
+
+@pytest.fixture(scope="module")
+def tsm_setup():
+    from blindshadowremoval_tpu.models.generator_tsm import TSMGenerator
+
+    golden = np.load(os.path.join(GOLDEN_DIR, "tsm_forward.npz"))
+    gen = TSMGenerator()
+    img, uv, reg = seeded_inputs(SIZE)
+    rng = np.random.default_rng(INPUT_SEED + 1)
+    img = np.concatenate([img, rng.uniform(0, 1, img.shape)], 0).astype(
+        np.float32)
+    uv = np.concatenate([uv, rng.uniform(0, 1, uv.shape)], 0).astype(
+        np.float32)
+    reg = np.concatenate(
+        [reg, rng.uniform(-0.02, 0.02, reg.shape)], 0).astype(np.float32)
+    variables = gen.init(jax.random.PRNGKey(0), img[:, :64, :64],
+                         uv[:, :64, :64], reg[:, :64, :64], frame=2)
+    weights = synthetic_tf_weights(variables, generator_mapping("tsm"),
+                                   seed=0)
+    variables = load_weights_dict(weights, variables,
+                                  generator_mapping("tsm"))
+    return gen, variables, (img, uv, reg), golden
+
+
+def test_tsm_forward_parity_eval(tsm_setup):
+    """Covers the ShareLayer (warp -> cross-frame max/mean -> unwarp)
+    composed with the widened res/up stacks against the TF reference."""
+    gen, variables, (img, uv, reg), golden = tsm_setup
+    outs = jax.jit(lambda v, i, u, r: gen.apply(
+        v, i, u, r, frame=2, share=True, train=False))(
+        variables, img, uv, reg)
+    for name, out in zip(OUT_NAMES, outs):
+        ref = golden[f"eval_{name}"]
+        err = np.abs(np.asarray(out) - ref).max()
+        tol = _tolerance(golden, "eval", name)
+        assert err < tol, f"{name}: max abs err {err} (tol {tol})"
+
+
+def test_tsm_forward_parity_train_mode(tsm_setup):
+    gen, variables, (img, uv, reg), golden = tsm_setup
+    outs, _ = jax.jit(lambda v, i, u, r: gen.apply(
+        v, i, u, r, frame=2, share=True, train=True,
+        mutable=["batch_stats"]))(variables, img, uv, reg)
+    for name, out in zip(OUT_NAMES, outs):
+        ref = golden[f"train_{name}"]
+        err = np.abs(np.asarray(out) - ref).max()
+        tol = _tolerance(golden, "train", name)
+        assert err < tol, f"{name}: max abs err {err} (tol {tol})"
+
+
+@pytest.fixture(scope="module")
+def rgb_setup():
+    from blindshadowremoval_tpu.models.generator_rgb import RGBGenerator
+
+    golden = np.load(os.path.join(GOLDEN_DIR, "rgb_forward.npz"))
+    gen = RGBGenerator()
+    img, uv, reg = seeded_inputs(SIZE)
+    variables = gen.init(jax.random.PRNGKey(0), img[:, :64, :64],
+                         uv[:, :64, :64], reg[:, :64, :64])
+    weights = synthetic_tf_weights(variables, generator_mapping("rgb"),
+                                   seed=0)
+    variables = load_weights_dict(weights, variables,
+                                  generator_mapping("rgb"))
+    return gen, variables, (img, uv, reg), golden
+
+
+def test_rgb_forward_parity_eval(rgb_setup):
+    gen, variables, (img, uv, reg), golden = rgb_setup
+    con = jax.jit(lambda v, i, u, r: gen.apply(v, i, u, r, train=False))(
+        variables, img, uv, reg)
+    err = np.abs(np.asarray(con) - golden["eval_con"]).max()
+    tol = _tolerance(golden, "eval", "con")
+    assert err < tol, f"con: max abs err {err} (tol {tol})"
+
+
+def test_rgb_forward_parity_train_mode(rgb_setup):
+    gen, variables, (img, uv, reg), golden = rgb_setup
+    con, _ = jax.jit(
+        lambda v, i, u, r: gen.apply(v, i, u, r, train=True,
+                                     mutable=["batch_stats"]))(
+        variables, img, uv, reg)
+    err = np.abs(np.asarray(con) - golden["train_con"]).max()
+    tol = _tolerance(golden, "train", "con")
+    assert err < tol, f"con: max abs err {err} (tol {tol})"

@@ -230,11 +230,110 @@ def make_gsc_golden():
           {k: float(np.abs(v).max()) for k, v in out.items()})
 
 
+def _run_modes(call_eager, call_graph, out_names):
+    """Eager + tf.function forwards in eval-then-train order, recording the
+    per-output eager-vs-graph self-noise (see make_gsc_golden)."""
+    out = {}
+    for mode, training in (("eval", False), ("train", True)):
+        outs = call_eager(training)
+        if not isinstance(outs, (tuple, list)):
+            outs = (outs,)
+        for name, t in zip(out_names, outs):
+            arr = np.asarray(t)
+            assert np.isfinite(arr).all(), (mode, name)
+            out[f"{mode}_{name}"] = arr
+        graph_outs = call_graph(training)
+        if not isinstance(graph_outs, (tuple, list)):
+            graph_outs = (graph_outs,)
+        for name, t in zip(out_names, graph_outs):
+            noise = float(np.abs(np.asarray(t) - out[f"{mode}_{name}"]).max())
+            out[f"{mode}_{name}_selfnoise"] = np.float32(noise)
+    return out
+
+
+def make_tsm_golden():
+    import model_with_TSM as ref_model
+
+    from blindshadowremoval_tpu.models.generator_tsm import TSMGenerator
+    from blindshadowremoval_tpu.models.tf_checkpoint import (
+        generator_mapping, synthetic_tf_weights)
+
+    patch_sharelayer(ref_model)
+    gen = ref_model.Generator()
+    # the reference ShareLayer reshapes to [1, frame, ...] — batch == frame
+    img, uv, reg = seeded_inputs(SIZE)
+    rng = np.random.default_rng(INPUT_SEED + 1)
+    img = np.concatenate([img, rng.uniform(0, 1, img.shape)], 0).astype(np.float32)
+    uv = np.concatenate([uv, rng.uniform(0, 1, uv.shape)], 0).astype(np.float32)
+    reg = np.concatenate(
+        [reg, rng.uniform(-0.02, 0.02, reg.shape)], 0).astype(np.float32)
+    share = tf.constant(True)   # tf.cond gate (model_with_TSM.py:228)
+    gen(tf.constant(img), tf.constant(uv), tf.constant(reg), 2, share, 1,
+        False)
+
+    fgen = TSMGenerator()
+    variables = fgen.init(jax.random.PRNGKey(0),
+                          np.zeros((2, 64, 64, 3), np.float32),
+                          np.zeros((2, 64, 64, 3), np.float32),
+                          np.zeros((2, 64, 64, 6), np.float32), frame=2)
+    weights = synthetic_tf_weights(variables, generator_mapping("tsm"),
+                                   seed=SEED)
+    n = assign_weights(gen, "generator", weights)
+    print(f"tsm: assigned {n} variables")
+
+    graph_fn = tf.function(
+        lambda training: gen(tf.constant(img), tf.constant(uv),
+                             tf.constant(reg), 2, share, 1, training))
+    out = _run_modes(
+        lambda training: gen(tf.constant(img), tf.constant(uv),
+                             tf.constant(reg), 2, share, 1, training),
+        graph_fn, ("gs", "con_rgb", "mask22", "dif"))
+    np.savez_compressed(os.path.join(OUT_DIR, "tsm_forward.npz"), **out)
+    print("tsm: wrote tsm_forward.npz",
+          {k: float(np.abs(v).max()) for k, v in out.items()})
+
+
+def make_rgb_golden():
+    import model_RGB as ref_model
+
+    from blindshadowremoval_tpu.models.generator_rgb import RGBGenerator
+    from blindshadowremoval_tpu.models.tf_checkpoint import (
+        generator_mapping, synthetic_tf_weights)
+
+    patch_sharelayer(ref_model)
+    gen = ref_model.Generator()
+    img, uv, reg = seeded_inputs(SIZE)
+    gen(tf.constant(img), tf.constant(uv), tf.constant(reg), 1, False)
+
+    fgen = RGBGenerator()
+    variables = fgen.init(jax.random.PRNGKey(0),
+                          np.zeros((1, 64, 64, 3), np.float32),
+                          np.zeros((1, 64, 64, 3), np.float32),
+                          np.zeros((1, 64, 64, 6), np.float32))
+    weights = synthetic_tf_weights(variables, generator_mapping("rgb"),
+                                   seed=SEED)
+    n = assign_weights(gen, "generator", weights)
+    print(f"rgb: assigned {n} variables")
+
+    graph_fn = tf.function(
+        lambda training: gen(tf.constant(img), tf.constant(uv),
+                             tf.constant(reg), 1, training))
+    out = _run_modes(
+        lambda training: gen(tf.constant(img), tf.constant(uv),
+                             tf.constant(reg), 1, training),
+        graph_fn, ("con",))
+    np.savez_compressed(os.path.join(OUT_DIR, "rgb_forward.npz"), **out)
+    print("rgb: wrote rgb_forward.npz",
+          {k: float(np.abs(v).max()) for k, v in out.items()})
+
+
 def main():
     os.makedirs(OUT_DIR, exist_ok=True)
     tf.random.set_seed(0)
     patch_keras3_compat()
     make_gsc_golden()
+    make_tsm_golden()
+    make_rgb_golden()
 
 
 if __name__ == "__main__":
