@@ -74,7 +74,7 @@ def rotate_image_and_landmarks(img: np.ndarray, lm: np.ndarray, deg: float):
     s, c = np.sin(np.deg2rad(deg)), np.cos(np.deg2rad(deg))
     x = lm[:, 0] - cols / 2
     y = lm[:, 1] - rows / 2
-    out = np.array(lm, copy=True, dtype=np.float64)
+    out = np.array(lm, copy=True)   # keep dtype (see face_crop_and_resize)
     out[:, 0] = y * s + x * c + cols / 2
     out[:, 1] = y * c - x * s + rows / 2
     return rotate_center(img, deg), out
@@ -94,7 +94,11 @@ def face_crop_and_resize(
     coordinates (pre-padding), landmarks are divided by the box side.
     """
     img = np.asarray(img)
-    lm = np.array(lm, dtype=np.float64, copy=True)
+    # keep the caller's landmark dtype (float32 for the shipped .npy
+    # contract), matching utils.py:358 `np.copy(lm0)`: the box corners go
+    # through int() truncation, so f32-vs-f64 rounding of the center/length
+    # (e.g. 128.0f vs 127.99999809) shifts the crop window by a full pixel
+    lm = np.array(lm, copy=True)
     rows, cols = img.shape[:2]
 
     if aug:

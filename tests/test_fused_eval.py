@@ -1,0 +1,79 @@
+"""Fused single-call UCB eval vs the host-orchestrated pipeline.
+
+The fused step (eval/fused.py) re-expresses the reference heuristics'
+host control flow as in-graph selects and the dynamic crop-box resize as a
+matmul.  On the reference-golden UCB images (whose host-path outputs are
+themselves verified EXACTLY against the TF reference in
+tests/test_tf_ref_e2e.py), the fused path must agree with the host path:
+identical detected masks, matching composites and metrics.
+"""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from blindshadowremoval_tpu.config import get_config
+from blindshadowremoval_tpu.data.dataset import Dataset
+from blindshadowremoval_tpu.eval.evaluators import UCBEvaluator
+from blindshadowremoval_tpu.eval.fused import (
+    dynamic_resize_matrix, resize_into_box)
+from blindshadowremoval_tpu.models.generator import GSCGenerator
+from blindshadowremoval_tpu.models.tf_checkpoint import (
+    generator_mapping, load_weights_dict, synthetic_tf_weights)
+
+REF = "/root/reference"
+needs_ref = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "UCB")), reason="reference data absent")
+
+
+def test_dynamic_resize_matches_cv2():
+    import cv2
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(256, 256, 3)).astype(np.float32)
+    for size in (234, 200, 255, 256, 128):
+        ref = cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
+        ref = np.pad(ref, ((0, 256 - size), (0, 256 - size), (0, 0)))
+        a = dynamic_resize_matrix(np.float32(size))
+        out = np.asarray(resize_into_box(img, a))
+        err = np.abs(out - ref).max()
+        assert err < 1e-4, (size, err)   # f32 matmul accumulation order
+
+
+@needs_ref
+def test_fused_matches_host_pipeline(tmp_path):
+    golden = np.load(os.path.join(os.path.dirname(__file__), "goldens",
+                                  "tf_ref", "e2e_eval.npz"))
+    gen = GSCGenerator()
+    z3 = np.zeros((1, 64, 64, 3), np.float32)
+    variables = gen.init(jax.random.PRNGKey(0), z3, z3,
+                         np.zeros((1, 64, 64, 6), np.float32))
+    weights = synthetic_tf_weights(variables, generator_mapping(), seed=0)
+    weights["generator/clr_conv3/conv/bias"] = (
+        weights["generator/clr_conv3/conv/bias"] + 0.5)
+    variables = load_weights_dict(weights, variables, generator_mapping())
+
+    cfg = get_config(
+        "ucb", data_dirs_test=(os.path.join(REF, "UCB", "train", "input", "*"),),
+        eval_views=1, compute_dtype="float32", part_mask_root=REF,
+        checkpoint_dir=str(tmp_path))
+    ds = Dataset(cfg, "test")
+    ev = UCBEvaluator(cfg, variables)
+
+    it = iter(ds)
+    for i in range(len(golden["ucb_names"])):
+        batch, _, name = next(it)
+        box = golden[f"ucb{i}_box"]
+        parts = ev._load_part_masks(REF, i)
+        host = ev.run_one(batch, box, f"host{i}", parts)
+        fused = ev.run_one_fused(batch, box, f"fused{i}", parts)
+
+        assert (fused["detected"] == host["detected"]).all(), \
+            f"ucb{i}: detected masks differ " \
+            f"({(fused['detected'] != host['detected']).mean():.4f})"
+        comp_err = np.abs(fused["pred"] - host["pred"]).max()
+        assert comp_err < 1e-4, f"ucb{i}: composite max err {comp_err}"
+        assert abs(fused["psnr"] - host["psnr"]) < 0.01, i
+        assert abs(fused["ssim"] - host["ssim"]) < 1e-4, i

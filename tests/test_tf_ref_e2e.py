@@ -1,0 +1,140 @@
+"""End-to-end reference-golden eval parity (the BASELINE.md north star).
+
+Fixtures (goldens/tf_ref/e2e_eval.npz, tools/make_tf_ref_e2e_goldens.py)
+hold the ACTUAL reference pipeline's outputs — its Dataset parsers, its
+FSRNet.test_step_FFHQ forward, and its full heuristic UCB test_step
+(train_test_GSC.py:411-748) — under deterministic synthetic ckpt-94-contract
+weights.  Here the same weights go through the checkpoint bridge into this
+framework, the same images go through THIS framework's pipeline
+(crop/geometry/evaluators), and the outputs are scored against the TF
+fixtures:
+
+  * in-the-wild 02165 deshadowed output:   PSNR >= 45 dB (the north star)
+  * UCB composite outputs:                 PSNR >= 40 dB vs reference
+  * UCB detected shadow masks:             <= 1% pixel disagreement
+  * UCB PSNR/SSIM metrics:                 within 0.1 dB / 0.01
+
+This covers every seam the unit tests cannot: crop box arithmetic, the
+barycentric UV/offset/face rasterizer vs matplotlib interpolation,
+resize/pad conventions, the heuristic post-processor, and compositing.
+"""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from blindshadowremoval_tpu.config import get_config
+from blindshadowremoval_tpu.data.dataset import Dataset
+from blindshadowremoval_tpu.eval.evaluators import (
+    InTheWildEvaluator, UCBEvaluator)
+from blindshadowremoval_tpu.models.generator import GSCGenerator
+from blindshadowremoval_tpu.models.tf_checkpoint import (
+    generator_mapping, load_weights_dict, synthetic_tf_weights)
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "goldens", "tf_ref",
+                      "e2e_eval.npz")
+REF = "/root/reference"
+
+needs_ref = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "UCB")), reason="reference data absent")
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((np.asarray(a, np.float32)
+                         - np.asarray(b, np.float32)) ** 2))
+    return 99.0 if mse == 0 else float(10.0 * np.log10(1.0 / mse))
+
+
+@pytest.fixture(scope="module")
+def bridged_variables():
+    gen = GSCGenerator()
+    z3 = np.zeros((1, 64, 64, 3), np.float32)
+    variables = gen.init(jax.random.PRNGKey(0), z3, z3,
+                         np.zeros((1, 64, 64, 6), np.float32))
+    weights = synthetic_tf_weights(variables, generator_mapping(), seed=0)
+    # identical tweak to tools/make_tf_ref_e2e_goldens.py:e2e_weights — lift
+    # the RGB head bias so the shadow map has real positive structure
+    weights["generator/clr_conv3/conv/bias"] = (
+        weights["generator/clr_conv3/conv/bias"] + 0.5)
+    return load_weights_dict(weights, variables, generator_mapping())
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return np.load(GOLDEN)
+
+
+@needs_ref
+def test_in_the_wild_north_star(bridged_variables, golden, tmp_path_factory):
+    cfg = get_config(
+        "in_the_wild",
+        data_dirs_test=(os.path.join(REF, "sample_imgs", "*"),),
+        eval_views=1, compute_dtype="float32",
+        checkpoint_dir=str(tmp_path_factory.mktemp("ffhq")))
+    ds = Dataset(cfg, "test")
+    batch, box, name = next(iter(ds))
+    assert os.path.basename(os.path.dirname(name)) == str(golden["ffhq_name"])
+
+    ev = InTheWildEvaluator(cfg, bridged_variables)
+    r = ev.run_one(batch, box, "02165")
+
+    psnr_pred = _psnr(r["pred"], golden["ffhq_pred"])
+    psnr_mask = _psnr(r["mask_pred"], golden["ffhq_mask_pred"])
+
+    # mask_pred is dif * face; the face region comes from a genuinely
+    # different rasterizer (barycentric gather vs matplotlib triangulated
+    # interpolation + blur), whose soft boundary differs slightly.  Judge
+    # model parity on the eroded face interior (where both rasterizers are
+    # exactly 1), and hold the boundary-inclusive number to a lower bar.
+    from scipy.ndimage import binary_erosion
+
+    interior = binary_erosion(
+        np.asarray(golden["ffhq_face"], np.float32)[..., 0] > 0.999,
+        iterations=5)
+    psnr_interior = _psnr(r["mask_pred"][interior, :],
+                          np.asarray(golden["ffhq_mask_pred"],
+                                     np.float32)[interior, :])
+    print(f"north star: pred {psnr_pred:.2f} dB, mask {psnr_mask:.2f} dB, "
+          f"mask-interior {psnr_interior:.2f} dB")
+    assert psnr_pred >= 45.0, f"deshadowed-output parity {psnr_pred:.2f} dB"
+    assert psnr_interior >= 45.0, f"shadow-map interior {psnr_interior:.2f} dB"
+    assert psnr_mask >= 28.0, f"shadow-map incl. boundary {psnr_mask:.2f} dB"
+
+
+@needs_ref
+def test_ucb_heuristic_pipeline_parity(bridged_variables, golden,
+                                       tmp_path_factory):
+    cfg = get_config(
+        "ucb",
+        data_dirs_test=(os.path.join(REF, "UCB", "train", "input", "*"),),
+        eval_views=1, compute_dtype="float32", part_mask_root=REF,
+        checkpoint_dir=str(tmp_path_factory.mktemp("ucb")))
+    ds = Dataset(cfg, "test")
+    ev = UCBEvaluator(cfg, bridged_variables)
+
+    n = len(golden["ucb_names"])
+    it = iter(ds)
+    for i in range(n):
+        batch, box, name = next(it)
+        assert os.path.basename(name) == str(golden["ucb_names"][i])
+        parts = ev._load_part_masks(REF, i)
+        # use the REFERENCE's recorded crop box: its parser returns the last
+        # random reference view's box rather than the anchor's (a reference
+        # quirk, dataset.py:165-296), and test_step's resize size follows it
+        r = ev.run_one(batch, golden[f"ucb{i}_box"], f"ucb{i}", parts)
+
+        ref_detected = np.unpackbits(
+            golden[f"ucb{i}_detected"])[:256 * 256].reshape(256, 256)
+        mine = (r["detected"][..., 0] > 0.5).astype(np.uint8)
+        disagree = float(np.mean(mine != ref_detected))
+        psnr_comp = _psnr(r["pred"], golden[f"ucb{i}_composite"])
+        d_psnr = abs(r["psnr"] - float(golden[f"ucb{i}_psnr"]))
+        d_ssim = abs(r["ssim"] - float(golden[f"ucb{i}_ssim"]))
+        print(f"ucb{i}: detected disagreement {disagree:.4f}, composite "
+              f"{psnr_comp:.2f} dB, dPSNR {d_psnr:.3f}, dSSIM {d_ssim:.4f}")
+        assert disagree <= 0.01, f"ucb{i} detected mask {disagree:.4f}"
+        assert psnr_comp >= 40.0, f"ucb{i} composite {psnr_comp:.2f} dB"
+        assert d_psnr <= 0.1, f"ucb{i} PSNR delta {d_psnr:.3f}"
+        assert d_ssim <= 0.01, f"ucb{i} SSIM delta {d_ssim:.4f}"

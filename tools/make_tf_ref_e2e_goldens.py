@@ -1,0 +1,261 @@
+"""End-to-end reference goldens: the BASELINE.md parity measurement, TF side.
+
+Drives the ACTUAL reference eval paths — `FSRNet.test_step_FFHQ`
+(train_test_GSC.py:863-890) on sample_imgs/02165 and `FSRNet.test_step`
+(the full heuristic post-processor, train_test_GSC.py:411-748) on the first
+UCB images — through the reference's own Dataset parsers, with the
+deterministic synthetic weights from `synthetic_tf_weights` (the tests load
+the SAME weights into the Flax model via the checkpoint bridge).  Outputs
+become fixtures under tests/goldens/tf_ref/ that tests/test_tf_ref_e2e.py
+scores the TPU framework against — this executes BASELINE.md's measurement
+plan steps (1)-(2) and produces the >=45 dB north-star number.
+
+Determinism notes: the UCB/FFHQ parsers pick 9 random reference views per
+image, but at eval time BatchNorm uses moving statistics (per-sample), so
+the ANCHOR view's prediction — the only thing the heuristics and metrics
+consume — is independent of which references were drawn.
+
+Run from anywhere:  python tools/make_tf_ref_e2e_goldens.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import types
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference"
+OUT_DIR = os.path.join(REPO, "tests", "goldens", "tf_ref")
+WORKDIR = "/tmp/tf_ref_e2e"
+N_UCB = 3
+
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+from jax.extend import backend as _jeb  # noqa: E402
+
+_jeb.clear_backends()
+
+import tensorflow as tf  # noqa: E402
+
+_tfa = types.ModuleType("tensorflow_addons")
+_tfa.layers = types.SimpleNamespace(
+    SpectralNormalization=tf.keras.layers.SpectralNormalization)
+sys.modules.setdefault("tensorflow_addons", _tfa)
+
+# natsort is not installed; the framework ships an equivalent natural sort
+from blindshadowremoval_tpu.data.dataset import _natsorted  # noqa: E402
+
+_nats = types.ModuleType("natsort")
+_nats.natsorted = lambda seq, *a, **k: _natsorted(seq)
+_nats.ns = types.SimpleNamespace()
+sys.modules.setdefault("natsort", _nats)
+
+
+def _no_line_aa(*args):  # skimage absent; utils.py only imports it —
+    raise NotImplementedError(  # no eval parser path ever calls it
+        "line_aa shim called; implement a real anti-aliased line")
+
+
+_skimage = types.ModuleType("skimage")
+_skimage.draw = types.ModuleType("skimage.draw")
+_skimage.draw.line_aa = _no_line_aa
+sys.modules.setdefault("skimage", _skimage)
+sys.modules.setdefault("skimage.draw", _skimage.draw)
+
+from make_tf_ref_goldens import (  # noqa: E402
+    SEED, assign_weights, patch_keras3_compat, patch_sharelayer)
+
+
+def setup_workdir():
+    """Reference eval code uses cwd-relative paths for data reads AND debug
+    writes (tmp_debug/); run in a sandbox of symlinks so /root/reference
+    stays untouched."""
+    os.makedirs(WORKDIR, exist_ok=True)
+    os.makedirs(os.path.join(WORKDIR, "tmp_debug"), exist_ok=True)
+    for entry in os.listdir(REF):
+        if entry.startswith(("UCB", "sample_")) or entry == "log":
+            link = os.path.join(WORKDIR, entry)
+            if not os.path.islink(link):
+                os.symlink(os.path.join(REF, entry), link)
+    os.chdir(WORKDIR)
+
+
+def patched_vgg19():
+    """keras.applications VGG19 downloads ImageNet weights (no egress in
+    this environment); the perceptual tower is unused at eval, so force
+    weights=None."""
+    orig = tf.keras.applications.VGG19
+
+    def make(*args, **kwargs):
+        kwargs["weights"] = None
+        return orig(*args, **kwargs)
+
+    tf.keras.applications.VGG19 = make
+
+
+def e2e_weights(variables, mapping, seed):
+    """Synthetic weights with the RGB-head bias lifted by +0.5.
+
+    Plain synthetic weights give an everywhere-negative shadow map
+    (dif ~ -gray(input) + noise), so the reference heuristics would only
+    exercise their no-detection path.  Lifting clr_conv3's bias makes
+    dif ~ 0.5 - gray(input) + noise: positive in dark regions, negative in
+    bright ones — driving the adaptive thresholds, connected components and
+    region gates through their real branches.  tests/test_tf_ref_e2e.py
+    applies the identical tweak on the Flax side."""
+    from blindshadowremoval_tpu.models.tf_checkpoint import \
+        synthetic_tf_weights
+
+    weights = synthetic_tf_weights(variables, mapping, seed=seed)
+    weights["generator/clr_conv3/conv/bias"] = (
+        weights["generator/clr_conv3/conv/bias"] + 0.5)
+    return weights
+
+
+def build_fsrnet(tgs, config):
+    fsr = tgs.FSRNet(config)
+    # build generator variables, then load the synthetic ckpt-94 contract
+    z = tf.zeros((1, 256, 256, 3))
+    fsr.gen(z, z, tf.zeros((1, 256, 256, 6)), 1, False)
+
+    from blindshadowremoval_tpu.models.generator import GSCGenerator
+    from blindshadowremoval_tpu.models.tf_checkpoint import generator_mapping
+
+    variables = GSCGenerator().init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, 64, 64, 3), np.float32),
+        np.zeros((1, 64, 64, 3), np.float32),
+        np.zeros((1, 64, 64, 6), np.float32))
+    weights = e2e_weights(variables, generator_mapping(), SEED)
+    n = assign_weights(fsr.gen, "generator", weights)
+    print(f"fsrnet: assigned {n} generator variables")
+    return fsr
+
+
+def make_ffhq_golden(tgs, refds, fsr, out):
+    config = tgs.Config(0)
+    config.DATA_DIR_TEST = ["sample_imgs/*"]
+    ds = refds.Dataset(config, "test")
+    name = ds.name_list[0]
+    img, box, _ = next(iter(ds.feed))
+    _, figs = fsr.test_step_FFHQ(img, box, training=False)
+    pred = np.asarray(figs[1])[0]          # deshadow_img_c, anchor view
+    mask_pred = np.asarray(figs[2])[0] / 2.0
+    # the parsed 16-channel pack ends with the reference's rasterized face
+    # region (dataset.py:616-770 layout 3+3+3+6+1) — stored so the test can
+    # separate face-rasterizer boundary differences from model parity
+    packed = np.asarray(img).reshape(10, 256, 256, -1)
+    out["ffhq_face"] = packed[0, ..., 15:16].astype(np.float16)
+    out["ffhq_input"] = packed[0, ..., 0:3].astype(np.float16)
+    out["ffhq_uv"] = packed[0, ..., 6:9].astype(np.float16)
+    out["ffhq_name"] = np.asarray(os.path.basename(os.path.dirname(name)))
+    out["ffhq_pred"] = pred.astype(np.float16)
+    out["ffhq_mask_pred"] = mask_pred.astype(np.float16)
+    print("ffhq golden:", name, pred.shape,
+          float(pred.min()), float(pred.max()))
+
+
+def make_ucb_goldens(tgs, refds, fsr, out):
+    import cv2
+
+    config = tgs.Config(0)
+    config.DATA_DIR_TEST = ["UCB/train/input/*"]
+    # the README's UCB procedure flips the dataset map line from
+    # parse_fn_test_FFHQ to parse_fn_test (README.md:46-58, source-editing
+    # config); monkeypatching the method reference is the same switch
+    refds.Dataset.parse_fn_test_FFHQ = refds.Dataset.parse_fn_test
+    ds = refds.Dataset(config, "test")
+
+    masks = sorted(os.listdir(
+        "UCB_input_images_face_masks_cropped_and_padded_with_hair/"))
+    feed = iter(ds.feed)
+    names = []
+    for count in range(N_UCB):
+        img, box, _ = next(feed)
+        # parse_fn_test reassigns `box` per view, so the returned value is
+        # the LAST random reference view's crop box, not the anchor's
+        # (dataset.py:165-296) — test_step's resize size inherits it.  Saved
+        # so the Flax-side test can reproduce the same size; random is
+        # seeded in main() to keep the fixture reproducible.
+        part = {}
+        for key, d in (
+                ("mask", "UCB_input_images_face_masks_cropped_and_padded_with_hair"),
+                ("mask_no_hair", "UCB_input_images_face_masks_cropped_and_padded"),
+                ("mouth", "UCB_input_images_mouth_masks_cropped_and_padded"),
+                ("nose", "UCB_input_images_nose_masks_cropped_and_padded"),
+                ("eyebrow", "UCB_input_images_eyebrow_masks_cropped_and_padded"),
+                ("eye", "UCB_input_images_eye_masks_cropped_and_padded"),
+                ("glasses", "UCB_input_images_glasses_masks_cropped_and_padded")):
+            part[key] = tf.convert_to_tensor(
+                cv2.imread(d + "/" + masks[count]) / 255.0)
+        losses, figs = fsr.test_step(
+            img, box, part["mask"], part["mask_no_hair"], part["mouth"],
+            part["nose"], part["eyebrow"], part["eye"], part["glasses"],
+            training=False)
+        name = ds.name_list[count]
+        names.append(name)
+        out[f"ucb{count}_box"] = np.asarray(box).reshape(4).astype(np.float32)
+        composite = np.asarray(figs[1])[0]
+        detected = np.asarray(figs[4])[0]
+        # figs[2] is mask_pred after resize/pad/face-gate + mustache/mouth
+        # suppression — the heuristic pipeline's input, for stage isolation
+        out[f"ucb{count}_mask_pred"] = np.asarray(figs[2])[0].astype(
+            np.float16)
+        out[f"ucb{count}_input"] = np.asarray(figs[0])[0].astype(np.float16)
+        out[f"ucb{count}_composite"] = composite.astype(np.float16)
+        out[f"ucb{count}_detected"] = np.packbits(
+            detected[..., 0] > 0.5)
+        out[f"ucb{count}_psnr"] = np.float32(losses["psnr"])
+        out[f"ucb{count}_ssim"] = np.float32(losses["ssim"])
+        print(f"ucb golden {count}: {name} psnr={float(losses['psnr']):.2f} "
+              f"ssim={float(losses['ssim']):.4f} "
+              f"detected_frac={float((detected[..., 0] > 0.5).mean()):.4f}")
+    out["ucb_names"] = np.asarray([os.path.basename(n) for n in names])
+    out["ucb_mask_files"] = np.asarray(masks[:N_UCB])
+
+
+def main():
+    import random
+
+    os.makedirs(OUT_DIR, exist_ok=True)
+    setup_workdir()
+    patch_keras3_compat()
+    patched_vgg19()
+    tf.random.set_seed(0)
+    # the reference parsers draw reference views with the global `random` /
+    # np.random state; seed both so regenerating fixtures is reproducible
+    # (the drawn views don't affect the anchor's outputs — eval-mode BN is
+    # per-sample — but the returned crop box does, see make_ucb_goldens)
+    random.seed(0)
+    np.random.seed(0)
+
+    sys.path.insert(0, REF)
+    import model as ref_model
+
+    patch_sharelayer(ref_model)
+    import dataset as refds
+    import train_test_GSC as tgs
+
+    config = tgs.Config(0)
+    # assigned in the reference's main() (train_test_GSC.py:937); never used
+    # here beyond string joins — no checkpoint is restored (synthetic
+    # weights stand in for the stripped ckpt-94 blobs)
+    config.CHECKPOINT_DIR = os.path.join(WORKDIR, "ckpt_unused")
+    fsr = build_fsrnet(tgs, config)
+
+    out = {}
+    make_ffhq_golden(tgs, refds, fsr, out)
+    make_ucb_goldens(tgs, refds, fsr, out)
+    np.savez_compressed(os.path.join(OUT_DIR, "e2e_eval.npz"), **out)
+    print("wrote e2e_eval.npz:", sorted(out))
+
+
+if __name__ == "__main__":
+    main()
