@@ -158,6 +158,19 @@ def main(argv=None):
             overrides["device_geometry"] = True
     cfg = get_config(preset, **overrides)
 
+    # the TSM ShareLayer reshapes [V,...] into [V/frame, frame, ...] with
+    # frame=4 for ucb/infer (UCBEvaluator) and 10 for sfw-video; a
+    # non-multiple --eval-views would die deep in the model with an opaque
+    # reshape error, so validate here
+    if cfg.variant == "tsm" and args.cmd in ("infer", "ucb"):
+        frame = 4
+        if cfg.eval_views % frame:
+            print(f"--eval-views {cfg.eval_views} invalid for --variant tsm: "
+                  f"the ShareLayer groups views by frame={frame}, so "
+                  f"eval-views must be a multiple of {frame}",
+                  file=sys.stderr)
+            return 2
+
     from blindshadowremoval_tpu.data.dataset import Dataset
 
     if args.cmd == "train":
@@ -228,9 +241,10 @@ def run_infer_serving(cfg, variables, args):
         print(f"no samples matched {cfg.data_dirs_test} "
               "(need <name>.png + <name>.npy landmark pairs)",
               file=sys.stderr)
-        return
+        return 1
     svc = ShadowRemovalService(
-        cfg, variables, batch_size=min(64, max(1, len(names))))
+        cfg, variables, batch_size=min(64, max(1, len(names))),
+        compact_output=True)
     results = svc.remove_shadows(images, lms)
     log = TrainLogger(cfg.checkpoint_dir)
     for name, r in zip(names, results):
@@ -239,6 +253,7 @@ def run_infer_serving(cfg, variables, args):
             name)
     print(f"wrote {len(results)} result strips to "
           f"{cfg.checkpoint_dir}/test/")
+    return 0
 
 
 def run_train(cfg, args):

@@ -227,10 +227,12 @@ class Dataset:
             view["extra"] = crop[..., ofs:]
         return view, box, lm_mirror
 
-    def parse_test_ucb(self, lm_path: str) -> tuple[dict, np.ndarray]:
-        """Anchor + 9 random same-folder references (dataset.py:148-302)."""
-        gt_path = self._ucb_gt_path(lm_path)
-        gt = _imread_rgb(gt_path)
+    def _parse_test_multiview(self, lm_path: str,
+                              gt: np.ndarray) -> tuple[dict, np.ndarray]:
+        """Anchor + eval_views-1 random same-folder reference views, all
+        carrying the anchor's gt (the shared body of the reference's
+        parse_fn_test / parse_fn_test_FFHQ, dataset.py:148-302,616-770).
+        Returns (batch dict of [V,...] arrays, anchor crop box)."""
         views = []
         anchor, box, _ = self._test_view(lm_path, gt)
         views.append(anchor)
@@ -244,6 +246,11 @@ class Dataset:
                      np.int32 if k.endswith("_tris") else np.float32)
                  for k in views[0]}
         return batch, np.asarray(box, np.float32)
+
+    def parse_test_ucb(self, lm_path: str) -> tuple[dict, np.ndarray]:
+        """UCB eval sample: gt lives in the parallel `gt/` tree."""
+        return self._parse_test_multiview(
+            lm_path, _imread_rgb(self._ucb_gt_path(lm_path)))
 
     @staticmethod
     def _ucb_gt_path(lm_path: str) -> str:
@@ -254,21 +261,9 @@ class Dataset:
         return "/".join(parts[:-3] + ["gt"] + parts[-2:-1] + [stem])
 
     def parse_test_ffhq(self, lm_path: str) -> tuple[dict, np.ndarray]:
-        """In-the-wild: gt = input (dataset.py:616-770)."""
-        gt = _imread_rgb(lm_path.rsplit(".", 1)[0] + ".png")
-        views = []
-        anchor, box, _ = self._test_view(lm_path, gt)
-        views.append(anchor)
-        folder = os.path.dirname(lm_path)
-        pool = _glob.glob(folder + "/*.npy")
-        for _ in range(self.config.eval_views - 1):
-            ref = pool[int(self.rng.integers(0, len(pool)))]
-            v, _, _ = self._test_view(ref, gt)
-            views.append(v)
-        batch = {k: np.stack([v[k] for v in views]).astype(
-                     np.int32 if k.endswith("_tris") else np.float32)
-                 for k in views[0]}
-        return batch, np.asarray(box, np.float32)
+        """In-the-wild: gt = input (dataset.py:622-623)."""
+        return self._parse_test_multiview(
+            lm_path, _imread_rgb(lm_path.rsplit(".", 1)[0] + ".png"))
 
     def parse_test_sfw(self, label_path: str) -> tuple[dict, np.ndarray]:
         """One SFW frame + mirrored twin with cmap + label mask

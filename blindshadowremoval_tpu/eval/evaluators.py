@@ -171,11 +171,33 @@ class UCBEvaluator(Evaluator):
         "glasses": "UCB_input_images_glasses_masks_cropped_and_padded",
     }
 
-    def _load_part_masks(self, root: str, index: int) -> dict:
+    def _load_part_masks(self, root: str, index: int,
+                         sample_name: Optional[str] = None) -> dict:
+        """Load the 7 per-image part masks.
+
+        Default pairing is POSITIONAL — `sorted(listdir)[index]` against the
+        natsorted sample list — faithfully mirroring the reference
+        (train_test_GSC.py:372,387-393), which silently misaligns if the
+        mask directory and image set ever diverge.  Passing `sample_name`
+        (the image's landmark path) switches to filename keying:
+        `<id>_<stem>-result.png`, raising loudly when the mask is missing.
+        """
         import cv2
 
-        names = sorted(os.listdir(os.path.join(root, self.PART_DIRS["face_hair"])))
-        fname = names[index]
+        if sample_name is not None:
+            folder = os.path.basename(os.path.dirname(sample_name))
+            stem = os.path.basename(sample_name).split(".")[0]
+            fname = f"{folder}_{stem}-result.png"
+            probe = os.path.join(root, self.PART_DIRS["face_hair"], fname)
+            if not os.path.isfile(probe):
+                raise FileNotFoundError(
+                    f"part mask {fname!r} not found under "
+                    f"{self.PART_DIRS['face_hair']}/ for sample "
+                    f"{sample_name!r}")
+        else:
+            names = sorted(
+                os.listdir(os.path.join(root, self.PART_DIRS["face_hair"])))
+            fname = names[index]
         out = {}
         for key, d in self.PART_DIRS.items():
             out[key] = cv2.imread(os.path.join(root, d, fname)) / 255.0
@@ -246,16 +268,19 @@ class UCBEvaluator(Evaluator):
 
     def run(self, dataset, part_mask_root: str,
             params: PostprocessParams = PostprocessParams(),
-            fused: Optional[bool] = None):
+            fused: Optional[bool] = None, key_masks_by_name: bool = False):
         """fused=None auto-selects the single-device-call path (run_one_fused,
         verified identical in tests/test_fused_eval.py) whenever batches
         carry host-rasterized geometry; device_geometry batches use the
-        host-orchestrated path."""
+        host-orchestrated path.  key_masks_by_name=True pairs part masks by
+        filename instead of the reference-faithful positional pairing."""
         use_fused = (not self._devgeo) if fused is None else fused
         runner = self.run_one_fused if use_fused else self.run_one
         results = []
         for step, (batch, box, name) in enumerate(dataset):
-            parts = self._load_part_masks(part_mask_root, step)
+            parts = self._load_part_masks(
+                part_mask_root, step,
+                sample_name=name if key_masks_by_name else None)
             r = runner(batch, box, name, parts, params)
             self.logger.display({"ssim": r["ssim"], "psnr": r["psnr"]},
                                 0, step, False, len(dataset.name_list))

@@ -42,8 +42,10 @@ class ShadowRemovalService:
     # quantize device->host egress: uint8 predictions + f16 shadow maps are
     # 3.2x fewer bytes than f32 — the fetch, not the compute, bounds serving
     # throughput when the chip is remote (and it's free bandwidth locally).
-    # uint8 loses nothing: served predictions are written as 8-bit images.
-    compact_output: bool = True
+    # uint8 loses nothing when predictions are written as 8-bit images (the
+    # CLI enables it), but it IS a numerical contract change (pred quantized
+    # to 1/255 steps, mask_pred to f16), so the library default stays f32.
+    compact_output: bool = False
     # rasterize the UV/offset/face maps in-graph from landmarks + Delaunay
     # topologies (device_geometry_maps — numerically identical to the host
     # generate_* wrappers, tests/test_device_geometry.py): host work per

@@ -87,8 +87,8 @@ def fused_nonlocal_attention(theta: jax.Array, phi: jax.Array, g: jax.Array,
                              interpret: bool = False) -> jax.Array:
     """softmax(theta @ phi^T) @ g over [B, N, D] operands.
 
-    Uses the fused Pallas kernel when shapes are MXU-aligned (N, D multiples
-    of 128 resp. 8) and a TPU pallas backend is available; falls back to the
+    Uses the fused Pallas kernel when shapes are MXU-aligned (both N and D
+    multiples of 128) and a TPU pallas backend is available; falls back to the
     XLA einsum path otherwise.  `interpret=True` forces the kernel through
     the Pallas interpreter (for CPU testing).
     """

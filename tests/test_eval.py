@@ -268,3 +268,26 @@ def test_ucb_postprocess_nose_veto_writes(rng):
     # the veto zeroed the rows below mid-nose inside the blob
     assert detected[39, 30:40].sum() == 0.0
     assert detected[20, 30:40].sum() > 0.0
+
+
+def test_part_masks_keyed_by_filename():
+    """Filename keying pairs `<id>_<stem>-result.png` to the sample, and
+    raises loudly on a missing mask (the positional default silently
+    misaligns — reference-faithful, train_test_GSC.py:372,387-393)."""
+    import pytest as _pytest
+
+    from blindshadowremoval_tpu.config import get_config
+    from blindshadowremoval_tpu.eval.evaluators import UCBEvaluator
+
+    ref = "/root/reference"
+    if not os.path.isdir(os.path.join(ref, "UCB")):
+        _pytest.skip("reference data absent")
+    ev = UCBEvaluator.__new__(UCBEvaluator)   # only _load_part_masks needed
+    by_name = ev._load_part_masks(
+        ref, 0, sample_name=ref + "/UCB/train/input/9156/9156-004.npy")
+    by_pos = ev._load_part_masks(ref, 0)
+    for key in by_name:
+        np.testing.assert_array_equal(by_name[key], by_pos[key])
+    with _pytest.raises(FileNotFoundError):
+        ev._load_part_masks(
+            ref, 0, sample_name=ref + "/UCB/train/input/9156/nope.npy")

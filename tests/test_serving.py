@@ -25,7 +25,10 @@ def test_serving_end_to_end():
     zr = np.zeros((1, S, S, 6), np.float32)
     variables = gen.init(jax.random.PRNGKey(0), z, z, zr)
 
-    svc = ShadowRemovalService(cfg, variables, batch_size=4)
+    # compact egress explicitly on (the CLI's configuration; the library
+    # default is f32 so the numeric contract is opt-in)
+    svc = ShadowRemovalService(cfg, variables, batch_size=4,
+                               compact_output=True)
     img = np.asarray(Image.open(os.path.join(SAMPLE, "02165.png"))
                      .convert("RGB"), np.float32) / 255.0
     lm = np.load(os.path.join(SAMPLE, "02165.npy"))
@@ -40,8 +43,8 @@ def test_serving_end_to_end():
     # identical inputs -> identical outputs regardless of batch position
     np.testing.assert_allclose(out[0]["pred"], out[4]["pred"], atol=1e-5)
 
-    # the default path (device-rasterized geometry + uint8/f16 egress)
-    # matches the host-map f32 path within output quantization (1/255)
+    # device-rasterized geometry + uint8/f16 egress matches the host-map
+    # f32 path within output quantization (1/255)
     svc_full = ShadowRemovalService(cfg, variables, batch_size=4,
                                     compact_output=False,
                                     device_geometry=False)
@@ -78,6 +81,49 @@ def test_serving_device_geometry_synthetic():
         assert np.isfinite(r["pred"]).all()
         assert np.isfinite(r["mask_pred"]).all()
     np.testing.assert_allclose(out[0]["pred"], out[2]["pred"], atol=1e-5)
+
+
+@pytest.mark.skipif(not os.path.isdir(SAMPLE), reason="sample fixture absent")
+def test_serving_tail_batch_matches_evaluator():
+    """The padded-tail + compact_output round trip against the evaluator
+    path: an image served in the PADDED TAIL of a batch (N % batch != 0),
+    with device_geometry on and off, must match InTheWildEvaluator's
+    per-image output for the same image within egress quantization."""
+    from blindshadowremoval_tpu.data.dataset import Dataset
+    from blindshadowremoval_tpu.eval.evaluators import InTheWildEvaluator
+    from blindshadowremoval_tpu.eval.serving import ShadowRemovalService
+    from blindshadowremoval_tpu.train.trainer import build_generator
+    from PIL import Image
+
+    cfg = get_config("in_the_wild", img_size=S, compute_dtype="float32",
+                     eval_views=1,
+                     data_dirs_test=(os.path.dirname(SAMPLE) + "/*",),
+                     checkpoint_dir="/tmp/serving_tail_test")
+    gen = build_generator(cfg)
+    z = np.zeros((1, S, S, 3), np.float32)
+    variables = gen.init(jax.random.PRNGKey(0), z, z,
+                         np.zeros((1, S, S, 6), np.float32))
+
+    batch, box, name = next(iter(Dataset(cfg, "test")))
+    ev = InTheWildEvaluator(cfg, variables)
+    ref = ev.run_one(batch, box, "tail_ref")
+
+    img = np.asarray(Image.open(os.path.join(SAMPLE, "02165.png"))
+                     .convert("RGB"), np.float32) / 255.0
+    lm = np.load(os.path.join(SAMPLE, "02165.npy"))
+    for devgeo, compact, atol_pred, atol_mask in (
+            (False, False, 1e-5, 1e-5),
+            (True, False, 5e-3, 5e-3),      # different rasterizer backend
+            (True, True, 1.0 / 255 + 5e-3, 6e-3)):
+        svc = ShadowRemovalService(cfg, variables, batch_size=4,
+                                   compact_output=compact,
+                                   device_geometry=devgeo)
+        outs = svc.remove_shadows([img] * 5, [lm] * 5)   # 5 % 4 -> tail of 1
+        tail = outs[4]
+        np.testing.assert_allclose(tail["pred"], np.clip(ref["pred"], 0, 1),
+                                   atol=atol_pred)
+        np.testing.assert_allclose(tail["mask_pred"], ref["mask_pred"],
+                                   atol=atol_mask)
 
 
 def test_host_local_batch_single_process():
