@@ -62,10 +62,16 @@ class Config:
     mesh_shape: Sequence[int] = (1, 1)     # (data, frame) mesh axes
     mesh_axis_names: Sequence[str] = ("data", "frame")
     compute_dtype: str = "bfloat16"        # activations/matmul dtype on TPU
-    vgg_dtype: str = "float32"             # perceptual-backbone dtype; keep
-                                           # f32 by default so the loss stack
-                                           # matches the TF-parity-validated
-                                           # numerics (bf16 = small speedup)
+    vgg_dtype: str = "bfloat16"            # perceptual-backbone dtype.
+                                           # Measured single-step effect of
+                                           # bf16 vs f32: only the `per`
+                                           # loss moves, by 0.018% (2e-7 of
+                                           # the weighted total) — far
+                                           # inside training noise, for
+                                           # -7..15% step time.  Set
+                                           # "float32" to reproduce the
+                                           # TF-parity-validated numerics
+                                           # exactly.
     remat: bool = False                    # rematerialize bottleneck blocks in training
     int8_head: bool = False                # serve the 7x7 output head int8
                                            # (+12% e2e, output parity ~73 dB
