@@ -17,7 +17,8 @@ File-layout contracts preserved exactly:
   * UCB test: `<root>/input/<id>/<img>.npy|png` with gt at `<root>/gt/...`
     (dataset.py:151-155);
   * FFHQ / in-the-wild: gt = input (dataset.py:622-623);
-  * SFW: `<frame>.png` + `<frame>.npy` + `<frame>_label.png` (+ `_cmap.png`);
+  * SFW: `<frame>.png` + `<frame>.npy` + `<frame>_label.png`
+    (+ `<frame>_label_cmap.png`);
     video mode picks 10 temporally spread frames with the reference's
     frame-offset schedule (dataset.py:808-867).
 """
@@ -272,7 +273,9 @@ class Dataset:
         s = cfg.img_size
         stem = label_path[:-len("_label.png")]
         lm_path = stem + ".npy"
-        cmap = _imread_rgb(stem + "_cmap.png")
+        # cmap rides the MASK stem: <frame>_label_cmap.png
+        # (dataset_with_TSM.py:231 `_mask.split('.')[0]+'_cmap.png'`)
+        cmap = _imread_rgb(label_path[:-len(".png")] + "_cmap.png")
         label = _imread_gray_raw(label_path)
         extra = np.concatenate([cmap, label], axis=2)
 

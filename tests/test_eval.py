@@ -107,7 +107,8 @@ def _make_sfw_fixture(tmp_path):
         cv2.imwrite(str(vid / f"{fr}.png"), src_img)
         np.save(str(vid / f"{fr}.npy"), lm)
         cv2.imwrite(str(vid / f"{fr}_label.png"), label)
-        cv2.imwrite(str(vid / f"{fr}_cmap.png"), src_img)
+        # cmap naming rides the mask stem (dataset_with_TSM.py:231)
+        cv2.imwrite(str(vid / f"{fr}_label_cmap.png"), src_img)
     return str(tmp_path / "sfw" / "*")
 
 

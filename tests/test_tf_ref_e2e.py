@@ -104,6 +104,50 @@ def test_in_the_wild_north_star(bridged_variables, golden, tmp_path_factory):
 
 
 @needs_ref
+def test_sfw_auc_parity(golden, tmp_path_factory):
+    """testsfw (TSM variant, train_with_TSM.py:619-707): shadow-mask AUC,
+    PSNR, SSIM on the synthetic SFW fixture must match the reference —
+    closing the 'SFW shadow-mask AUC: match TF2 reference' BASELINE row."""
+    from blindshadowremoval_tpu.eval.evaluators import SFWEvaluator
+    from blindshadowremoval_tpu.models.generator_tsm import TSMGenerator
+
+    gen = TSMGenerator()
+    z3 = np.zeros((2, 64, 64, 3), np.float32)
+    variables = gen.init(jax.random.PRNGKey(0), z3, z3,
+                         np.zeros((2, 64, 64, 6), np.float32), frame=2)
+    weights = synthetic_tf_weights(variables, generator_mapping("tsm"),
+                                   seed=0)
+    weights["generator/clr_conv3/conv/bias"] = (
+        weights["generator/clr_conv3/conv/bias"] + 0.5)
+    variables = load_weights_dict(weights, variables,
+                                  generator_mapping("tsm"))
+
+    sfw_dir = os.path.join(os.path.dirname(__file__), "goldens", "tf_ref",
+                           "sfw_synth")
+    cfg = get_config(
+        "sfw", data_dirs_test=(os.path.join(sfw_dir, "*"),),
+        compute_dtype="float32",
+        checkpoint_dir=str(tmp_path_factory.mktemp("sfw")))
+    ds = Dataset(cfg, "test", dset="sfw")
+    batch, box, name = next(iter(ds))
+
+    ev = SFWEvaluator(cfg, variables)
+    r = ev.run_one(batch, box, "sfw0")
+
+    d_auc = abs(r["auc"] - float(golden["sfw_auc"]))
+    d_psnr = abs(r["psnr"] - float(golden["sfw_psnr"]))
+    d_ssim = abs(r["ssim"] - float(golden["sfw_ssim"]))
+    mask_psnr = _psnr(r["mask_pred"],
+                      np.asarray(golden["sfw_mask_pred"], np.float32))
+    print(f"sfw: dAUC {d_auc:.5f}, dPSNR {d_psnr:.4f}, dSSIM {d_ssim:.5f}, "
+          f"mask_pred parity {mask_psnr:.2f} dB")
+    assert d_auc <= 1e-3, f"AUC delta {d_auc}"
+    assert d_psnr <= 0.05, f"PSNR delta {d_psnr}"
+    assert d_ssim <= 0.005, f"SSIM delta {d_ssim}"
+    assert mask_psnr >= 40.0, f"mask_pred parity {mask_psnr:.2f} dB"
+
+
+@needs_ref
 def test_ucb_heuristic_pipeline_parity(bridged_variables, golden,
                                        tmp_path_factory):
     cfg = get_config(

@@ -221,6 +221,77 @@ def make_ucb_goldens(tgs, refds, fsr, out):
     out["ucb_mask_files"] = np.asarray(masks[:N_UCB])
 
 
+def make_sfw_synth_data():
+    """Synthetic SFW-format fixture built from the real 02165 sample.
+
+    The SFW dataset itself is not shipped in the reference repo, but its
+    FILE CONTRACT is (<frame>.png/.npy/_label.png/_cmap.png,
+    dataset_with_TSM.py:225-296).  A deterministic label map (shadow class
+    = 2, penumbra 1, background 0) over the real face exercises the full
+    testsfw path; the fixture is checked into tests/goldens/tf_ref/ so the
+    Flax-side test consumes the identical files.
+    """
+    import cv2
+
+    out_dir = os.path.join(OUT_DIR, "sfw_synth", "vid0")
+    os.makedirs(out_dir, exist_ok=True)
+    src = os.path.join(REF, "sample_imgs", "02165")
+    img = cv2.imread(os.path.join(src, "02165.png"))
+    lm = np.load(os.path.join(src, "02165.npy"))
+    label = np.zeros(img.shape[:2], np.uint8)
+    label[60:200, 60:200] = 1
+    label[80:160, 90:170] = 2
+    cv2.imwrite(os.path.join(out_dir, "0.png"), img)
+    np.save(os.path.join(out_dir, "0.npy"), lm)
+    cv2.imwrite(os.path.join(out_dir, "0_label.png"), label)
+    # cmap naming rides the mask stem (dataset_with_TSM.py:231)
+    cv2.imwrite(os.path.join(out_dir, "0_label_cmap.png"), img)
+    link = os.path.join(WORKDIR, "SFW_synth")
+    if not os.path.islink(link):
+        os.symlink(os.path.dirname(out_dir), link)
+
+
+def make_sfw_golden(out):
+    """Drive the reference TSM testsfw path (train_with_TSM.py:619-707) on
+    the synthetic SFW fixture with the synthetic ckpt-110-contract
+    weights."""
+    import model_with_TSM as ref_tsm_model
+
+    patch_sharelayer(ref_tsm_model)
+    import dataset_with_TSM as refds_tsm
+    import train_with_TSM as twt
+
+    from blindshadowremoval_tpu.models.generator_tsm import TSMGenerator
+    from blindshadowremoval_tpu.models.tf_checkpoint import generator_mapping
+
+    config = twt.Config(0)
+    config.CHECKPOINT_DIR = os.path.join(WORKDIR, "ckpt_unused_tsm")
+    config.DATA_DIR_TEST = ["SFW_synth/*"]
+    fsr = twt.FSRNet(config)
+    z = tf.zeros((2, 256, 256, 3))
+    fsr.gen(z, z, tf.zeros((2, 256, 256, 6)), 2, tf.constant(True), 1, False)
+
+    variables = TSMGenerator().init(
+        jax.random.PRNGKey(0),
+        np.zeros((2, 64, 64, 3), np.float32),
+        np.zeros((2, 64, 64, 3), np.float32),
+        np.zeros((2, 64, 64, 6), np.float32), frame=2)
+    weights = e2e_weights(variables, generator_mapping("tsm"), SEED)
+    n = assign_weights(fsr.gen, "generator", weights)
+    print(f"sfw/tsm: assigned {n} variables")
+
+    ds = refds_tsm.Dataset(config, "test", dset="sfw")
+    img, box, _ = next(iter(ds.feed))
+    losses, figs = fsr.test_step_sfw(img, box, training=False)
+    out["sfw_auc"] = np.float32(losses["auc"])
+    out["sfw_psnr"] = np.float32(losses["psnr"])
+    out["sfw_ssim"] = np.float32(losses["ssim"])
+    out["sfw_mask_pred"] = (np.asarray(figs[2])[0] / 2.0).astype(np.float16)
+    out["sfw_pred"] = np.asarray(figs[1])[0].astype(np.float16)
+    print(f"sfw golden: auc={float(losses['auc']):.4f} "
+          f"psnr={float(losses['psnr']):.2f} ssim={float(losses['ssim']):.4f}")
+
+
 def main():
     import random
 
@@ -253,6 +324,8 @@ def main():
     out = {}
     make_ffhq_golden(tgs, refds, fsr, out)
     make_ucb_goldens(tgs, refds, fsr, out)
+    make_sfw_synth_data()
+    make_sfw_golden(out)
     np.savez_compressed(os.path.join(OUT_DIR, "e2e_eval.npz"), **out)
     print("wrote e2e_eval.npz:", sorted(out))
 
