@@ -77,7 +77,16 @@ def build_generator(config: Config, axis_name: Optional[str] = None):
 
 @dataclasses.dataclass(eq=False)   # identity hash: instance is a static jit arg
 class Trainer:
-    """Owns model definitions, optimizers, and the jitted step."""
+    """Owns model definitions, optimizers, and the jitted step.
+
+    COMPILE-CACHE CAVEAT: because `self` is a static jit argument hashed by
+    IDENTITY, each Trainer instance compiles its own train_step executable
+    (one per `train` flag value).  Construct ONE Trainer per config and
+    share it (evaluators already reuse `build_generator` rather than a
+    second Trainer); a second instance with an equal config silently pays
+    the full compile again — 2.5-10 min per step variant on a
+    remote-attached TPU (docs/perf.md).
+    """
 
     config: Config
     vgg_weights: Any = None          # optional pretrained VGG param tree
