@@ -27,6 +27,9 @@ Remaining profile: ~89 us res/NonLocal stack (Pallas-fused attention),
 ~84 us the fused 7x7 head (XLA's small-output-channel lowering measured
 within 2x of alternatives tried: tap-major GEMM + shift-add 155 us,
 space-to-depth 94 us), ~100 us encoder/decoder convs near fusion limits.
+Round 2: a full space-to-depth path for conv1/head (config.s2d_convs,
+models/blocks.py) measured 3762 faces/s vs this 4050 baseline — XLA's own
+lowering + the repack overhead win at these shapes; flag defaults off.
 """
 
 from __future__ import annotations

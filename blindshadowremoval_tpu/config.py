@@ -76,6 +76,15 @@ class Config:
     int8_head: bool = False                # serve the 7x7 output head int8
                                            # (+12% e2e, output parity ~73 dB
                                            # vs f32; ops/quant.py)
+    s2d_convs: bool = False                # compute the lane-starved 7x7
+                                           # convs (conv1, output heads) via
+                                           # 2x2 space-to-depth (identical
+                                           # math, 4x MXU lane use).  MEASURED
+                                           # SLOWER on v5e inference (3762 vs
+                                           # 4050 faces/s: XLA's own lowering
+                                           # + the repack overhead win at
+                                           # these shapes) — kept as a tested
+                                           # option for other hw/shapes.
     device_geometry: bool = False          # rasterize UV/offset/face maps
                                            # in-graph from landmarks instead
                                            # of on the host (train pipeline)

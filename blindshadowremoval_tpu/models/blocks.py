@@ -51,6 +51,70 @@ class _Int8Conv(nn.Module):
         return int8_conv(x, kernel, bias, stride=self.stride)
 
 
+def space_to_depth_conv(x: jax.Array, kernel: jax.Array, bias: jax.Array,
+                        dtype: Any) -> jax.Array:
+    """Stride-1 SAME odd-k conv computed in 2x2 space-to-depth space.
+
+    Numerically the same convolution, but expressed as a VALID K2xK2 conv
+    over 2x2-packed pixels (K2 = (k+1)//2): channel counts quadruple, so
+    convs with tiny channel counts — the generator's 7x7 conv1 (3 in) and
+    7x7 output head (2 out) — stop wasting MXU lanes (3/128 input lanes,
+    2/128 output lanes at bf16).  Identity with the direct conv is asserted
+    in tests/test_models.py.
+
+    Derivation: with xp = pad(x, k//2) and phases di,pi in {0,1},
+    y[2i+di] = sum_kk xp[2i+di+kk] w[kk]; writing di+kk = 2c+pi maps each
+    (output-phase, input-phase) pair to a K2-tap kernel w[2c+pi-di].
+    """
+    k, _, cin, cout = kernel.shape
+    b, hh, ww, _ = x.shape
+    assert k % 2 == 1 and hh % 2 == 0 and ww % 2 == 0
+    k2 = (k + 1) // 2
+    pad = k // 2
+
+    # W2[(c,pi,di),(d,pj,dj),...] = w[2c+pi-di, 2d+pj-dj] (0 outside range)
+    c = jnp.arange(k2)
+    two = jnp.arange(2)
+    kk = 2 * c[:, None, None] + two[None, :, None] - two[None, None, :]
+    valid = (kk >= 0) & (kk < k)
+    kkc = jnp.clip(kk, 0, k - 1)
+    wk = kernel[kkc] * valid[..., None, None, None]     # [c,pi,di,l,ci,co]
+    wkl = wk[:, :, :, kkc] * valid[None, None, None, ..., None, None]
+    # [c,pi,di,d,pj,dj,ci,co] -> [c,d,(pi,pj,ci),(di,dj,co)]
+    w2 = wkl.transpose(0, 3, 1, 4, 6, 2, 5, 7).reshape(
+        k2, k2, 4 * cin, 4 * cout).astype(dtype)
+
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    h2, w2c = (hh + 2 * pad) // 2, (ww + 2 * pad) // 2
+    x2 = xp.reshape(b, h2, 2, w2c, 2, cin).transpose(0, 1, 3, 2, 4, 5)
+    x2 = x2.reshape(b, h2, w2c, 4 * cin).astype(dtype)
+
+    y2 = jax.lax.conv_general_dilated(
+        x2, w2, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    oh, ow = hh // 2, ww // 2
+    y = y2.reshape(b, oh, ow, 2, 2, cout).transpose(0, 1, 3, 2, 4, 5)
+    y = y.reshape(b, hh, ww, cout)
+    return y + bias.astype(dtype)
+
+
+class _S2DConv(nn.Module):
+    """nn.Conv-compatible parameter tree, computed via space_to_depth_conv."""
+
+    features: int
+    ksize: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel", _KERNEL_INIT,
+            (self.ksize, self.ksize, x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        return space_to_depth_conv(x, kernel, bias, self.dtype)
+
+
 class ConvBlock(nn.Module):
     """Conv + optional BatchNorm/SpectralNorm + optional LeakyReLU + Dropout.
 
@@ -64,6 +128,8 @@ class ConvBlock(nn.Module):
     act: bool = True
     dropout: bool = False
     quant_int8: bool = False   # serve this conv int8 (see ops/quant.py)
+    s2d: bool = False          # compute via 2x2 space-to-depth (lane-starved
+                               # stride-1 convs: conv1 / output head)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -73,6 +139,10 @@ class ConvBlock(nn.Module):
             # checkpoints interchange between the bf16 and int8 paths
             x = _Int8Conv(self.features, self.ksize, self.stride,
                           name="Conv_0")(x).astype(self.dtype)
+        elif (self.s2d and self.stride == 1 and self.ksize % 2 == 1
+                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+            x = _S2DConv(self.features, self.ksize, dtype=self.dtype,
+                         name="Conv_0")(x)
         else:
             conv = nn.Conv(self.features, (self.ksize, self.ksize),
                            strides=(self.stride, self.stride), padding="SAME",

@@ -43,6 +43,8 @@ class GSCGenerator(nn.Module):
     remat: bool = False   # rematerialize ResBottlenecks (trade FLOPs for HBM)
     int8_head: bool = False   # serve the 7x7 output head int8 (2x faster;
                               # see ops/quant.py for the measurement)
+    s2d_convs: bool = False   # space-to-depth 7x7 convs — measured slower
+                              # on v5e (see config.py); off by default
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -52,7 +54,8 @@ class GSCGenerator(nn.Module):
         x = inputs.astype(self.dtype)
 
         # ---- encoder -------------------------------------------------
-        x1 = ConvBlock(N_CH[0], ksize=7, dtype=self.dtype, name="conv1")(x, train)
+        x1 = ConvBlock(N_CH[0], ksize=7, s2d=self.s2d_convs,
+                       dtype=self.dtype, name="conv1")(x, train)
         x2 = ConvBlock(N_CH[1], stride=2, dtype=self.dtype, name="down1")(x1, train)
         x3 = ConvBlock(N_CH[2], stride=2, dtype=self.dtype, name="down2")(x2, train)
         x = ConvBlock(N_CH[3], stride=2, dtype=self.dtype, name="down3")(x3, train)
@@ -78,7 +81,7 @@ class GSCGenerator(nn.Module):
         # MXU, so the merge halves the most expensive op in the model (the
         # TF bridge maps generator/conv{2,3} into slices of this kernel).
         head = ConvBlock(2, ksize=7, norm=None, act=False,
-                         quant_int8=self.int8_head,
+                         quant_int8=self.int8_head, s2d=self.s2d_convs,
                          dtype=self.dtype, name="head")(y, train)
         mask = jnp.tanh(head[..., 0:1])
         con = head[..., 1:2]

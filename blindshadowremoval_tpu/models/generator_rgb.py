@@ -24,6 +24,7 @@ class RGBGenerator(nn.Module):
 
     n_res: int = 6
     remat: bool = False   # rematerialize ResBottlenecks (trade FLOPs for HBM)
+    s2d_convs: bool = False   # space-to-depth 7x7 convs (see generator.py)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -32,7 +33,8 @@ class RGBGenerator(nn.Module):
         del reg
         x = inputs.astype(self.dtype)
 
-        x1 = ConvBlock(N_CH[0], ksize=7, dtype=self.dtype, name="conv1")(x, train)
+        x1 = ConvBlock(N_CH[0], ksize=7, s2d=self.s2d_convs,
+                       dtype=self.dtype, name="conv1")(x, train)
         x2 = ConvBlock(N_CH[1], stride=2, dtype=self.dtype, name="down1")(x1, train)
         x3 = ConvBlock(N_CH[2], stride=2, dtype=self.dtype, name="down2")(x2, train)
         x = ConvBlock(N_CH[3], stride=2, dtype=self.dtype, name="down3")(x3, train)
@@ -51,8 +53,8 @@ class RGBGenerator(nn.Module):
             jnp.concatenate([y, x3], axis=3), train)
         y = ConvTBlock(N_CH[1] * 2, dtype=self.dtype, name="up3")(
             jnp.concatenate([y, x2], axis=3), train)
-        y = ConvBlock(3, ksize=7, norm=None, act=False,
+        y = ConvBlock(3, ksize=7, norm=None, act=False, s2d=self.s2d_convs,
                       dtype=self.dtype, name="conv2")(y, train)
-        con = ConvBlock(3, ksize=7, norm=None, act=False,
+        con = ConvBlock(3, ksize=7, norm=None, act=False, s2d=self.s2d_convs,
                         dtype=self.dtype, name="conv3")(y, train)
         return con.astype(jnp.float32)

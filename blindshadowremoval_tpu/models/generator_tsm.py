@@ -82,6 +82,7 @@ class TSMGenerator(nn.Module):
     axis_name: Optional[str] = None
     remat: bool = False   # rematerialize ResBottlenecks (trade FLOPs for HBM)
     int8_head: bool = False   # serve the 7x7 output head int8 (see generator.py)
+    s2d_convs: bool = False   # space-to-depth 7x7 convs (see generator.py)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -89,7 +90,8 @@ class TSMGenerator(nn.Module):
                  frame: int = 1, share: bool = True, train: bool = False):
         x = inputs.astype(self.dtype)
 
-        x1 = ConvBlock(N_CH[0], ksize=7, dtype=self.dtype, name="conv1")(x, train)
+        x1 = ConvBlock(N_CH[0], ksize=7, s2d=self.s2d_convs,
+                       dtype=self.dtype, name="conv1")(x, train)
         x2 = ConvBlock(N_CH[1], stride=2, dtype=self.dtype, name="down1")(x1, train)
         x3 = ConvBlock(N_CH[2], stride=2, dtype=self.dtype, name="down2")(x2, train)
         x = ConvBlock(N_CH[3], stride=2, dtype=self.dtype, name="down3")(x3, train)
@@ -112,7 +114,7 @@ class TSMGenerator(nn.Module):
             jnp.concatenate([y, x2], axis=3), train)
         # conv2/conv3 heads fused into one 2-channel conv (see generator.py)
         head = ConvBlock(2, ksize=7, norm=None, act=False,
-                         quant_int8=self.int8_head,
+                         quant_int8=self.int8_head, s2d=self.s2d_convs,
                          dtype=self.dtype, name="head")(y, train)
         mask = jnp.tanh(head[..., 0:1])
         con = head[..., 1:2]

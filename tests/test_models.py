@@ -207,3 +207,43 @@ def test_vgg_feature_taps(rng):
     assert len(feats) == 5
     assert feats[0].shape == (1, 64, 64, 64)
     assert feats[4].shape == (1, 4, 4, 512)
+
+
+def test_space_to_depth_conv_exact():
+    """space_to_depth_conv must equal the direct stride-1 SAME conv."""
+    import jax
+    import jax.numpy as jnp
+
+    from blindshadowremoval_tpu.models.blocks import space_to_depth_conv
+
+    rng = np.random.default_rng(0)
+    for k, cin, cout, s in ((7, 3, 32, 32), (7, 64, 2, 64), (3, 3, 3, 16),
+                            (5, 5, 7, 24)):
+        x = jnp.asarray(rng.normal(size=(2, s, s, cin)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(k, k, cin, cout)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+        ref = jax.lax.conv_general_dilated(
+            x, w, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+        out = space_to_depth_conv(x, w, b, jnp.float32)
+        err = float(jnp.abs(out - ref).max())
+        assert err < 1e-4, (k, cin, cout, err)
+
+
+def test_s2d_convblock_param_tree_compatible():
+    """The s2d path keeps nn.Conv's Conv_0/{kernel,bias} tree, and its
+    output matches the plain ConvBlock with shared params."""
+    import jax
+    import jax.numpy as jnp
+
+    from blindshadowremoval_tpu.models.blocks import ConvBlock
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    plain = ConvBlock(8, ksize=7, norm=None, act=False)
+    fast = ConvBlock(8, ksize=7, norm=None, act=False, s2d=True)
+    v = plain.init(jax.random.PRNGKey(0), x)
+    assert set(v["params"]["Conv_0"]) == {"kernel", "bias"}
+    a = plain.apply(v, x)
+    b = fast.apply(v, x)           # same tree consumed by the s2d path
+    assert float(jnp.abs(a - b).max()) < 1e-4
