@@ -31,6 +31,11 @@ def _add_common(p):
     p.add_argument("--int8-head", action="store_true",
                    help="serve the output head int8 (+12%% throughput, "
                         "~73 dB output parity vs f32)")
+    p.add_argument("--int8-head-scale", type=float, default=0.0,
+                   help="calibrated static activation bound for the int8 "
+                        "head (tools/calibrate_int8_head.py); removes the "
+                        "dynamic-max quantize pass for another +10%% "
+                        "throughput. 0 = dynamic per-sample max")
     p.add_argument("--seed", type=int, default=0)
 
 
@@ -140,6 +145,8 @@ def main(argv=None):
         overrides["variant"] = args.variant
     if getattr(args, "int8_head", False):
         overrides["int8_head"] = True
+    if getattr(args, "int8_head_scale", 0.0):
+        overrides["int8_head_scale"] = args.int8_head_scale
     if args.cmd == "train":
         overrides.update(
             data_dirs=tuple(args.data),

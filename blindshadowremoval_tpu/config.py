@@ -76,6 +76,11 @@ class Config:
     int8_head: bool = False                # serve the 7x7 output head int8
                                            # (+12% e2e, output parity ~73 dB
                                            # vs f32; ops/quant.py)
+    int8_head_scale: float = 0.0           # calibrated static activation
+                                           # bound for the int8 head (0 =
+                                           # dynamic per-sample max); see
+                                           # ops/quant.py and
+                                           # tools/calibrate_int8_head.py
     s2d_convs: bool = False                # compute the lane-starved 7x7
                                            # convs (conv1, output heads) via
                                            # 2x2 space-to-depth (identical

@@ -43,6 +43,10 @@ class GSCGenerator(nn.Module):
     remat: bool = False   # rematerialize ResBottlenecks (trade FLOPs for HBM)
     int8_head: bool = False   # serve the 7x7 output head int8 (2x faster;
                               # see ops/quant.py for the measurement)
+    int8_head_scale: float = 0.0  # calibrated static activation bound for
+                              # the int8 head (0 = dynamic per-sample max;
+                              # a static bound lets the quantize fuse into
+                              # the producing fusion — ops/quant.py)
     s2d_convs: bool = False   # space-to-depth 7x7 convs — measured slower
                               # on v5e (see config.py); off by default
     dtype: Any = jnp.float32
@@ -82,6 +86,7 @@ class GSCGenerator(nn.Module):
         # TF bridge maps generator/conv{2,3} into slices of this kernel).
         head = ConvBlock(2, ksize=7, norm=None, act=False,
                          quant_int8=self.int8_head, s2d=self.s2d_convs,
+                         quant_scale=self.int8_head_scale,
                          dtype=self.dtype, name="head")(y, train)
         mask = jnp.tanh(head[..., 0:1])
         con = head[..., 1:2]

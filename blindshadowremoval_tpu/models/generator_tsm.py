@@ -82,6 +82,7 @@ class TSMGenerator(nn.Module):
     axis_name: Optional[str] = None
     remat: bool = False   # rematerialize ResBottlenecks (trade FLOPs for HBM)
     int8_head: bool = False   # serve the 7x7 output head int8 (see generator.py)
+    int8_head_scale: float = 0.0  # calibrated static bound (see generator.py)
     s2d_convs: bool = False   # space-to-depth 7x7 convs (see generator.py)
     dtype: Any = jnp.float32
 
@@ -115,6 +116,7 @@ class TSMGenerator(nn.Module):
         # conv2/conv3 heads fused into one 2-channel conv (see generator.py)
         head = ConvBlock(2, ksize=7, norm=None, act=False,
                          quant_int8=self.int8_head, s2d=self.s2d_convs,
+                         quant_scale=self.int8_head_scale,
                          dtype=self.dtype, name="head")(y, train)
         mask = jnp.tanh(head[..., 0:1])
         con = head[..., 1:2]

@@ -65,15 +65,18 @@ def build_generator(config: Config, axis_name: Optional[str] = None):
     dtype = jnp.dtype(config.compute_dtype)
     int8_head = getattr(config, "int8_head", False)
     s2d = getattr(config, "s2d_convs", False)
+    head_scale = getattr(config, "int8_head_scale", 0.0)
     if config.variant == "tsm":
         return TSMGenerator(n_res=config.n_res, axis_name=axis_name,
                             remat=config.remat, int8_head=int8_head,
+                            int8_head_scale=head_scale,
                             s2d_convs=s2d, dtype=dtype)
     if config.variant == "rgb":
         return RGBGenerator(n_res=config.n_res, remat=config.remat,
                             s2d_convs=s2d, dtype=dtype)
     return GSCGenerator(n_res=config.n_res, remat=config.remat,
-                        int8_head=int8_head, s2d_convs=s2d, dtype=dtype)
+                        int8_head=int8_head, int8_head_scale=head_scale,
+                        s2d_convs=s2d, dtype=dtype)
 
 
 @dataclasses.dataclass(eq=False)   # identity hash: instance is a static jit arg

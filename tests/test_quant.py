@@ -85,3 +85,37 @@ def test_int8_conv_straight_through_gradients(rng):
         assert rel < 0.05, rel
         # and critically: dense, not argmax-sparse
         assert float((jnp.abs(q) > 0).mean()) > 0.9
+
+
+def test_int8_conv_static_scale():
+    """A calibrated static scale matches the dynamic path when the bound
+    covers the activations, and saturates (not wraps) beyond it."""
+    import jax.numpy as jnp
+
+    from blindshadowremoval_tpu.ops.quant import int8_conv
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-3, 3, size=(2, 16, 16, 8)).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 0.1, size=(3, 3, 8, 4)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(4,)).astype(np.float32))
+
+    import jax
+
+    ref = np.asarray(jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b)
+    tol = float(np.abs(ref).max()) * 0.05
+    # dynamic (per-sample max) and static (one calibrated bound) both track
+    # the float conv within their quantization grids
+    dyn = np.asarray(int8_conv(x, w, b))
+    assert np.abs(dyn - ref).max() < tol
+    stat = np.asarray(int8_conv(x, w, b, static_scale=float(jnp.abs(x).max())))
+    assert np.abs(stat - ref).max() < tol
+    # a looser bound coarsens the grid but stays close
+    loose = np.asarray(int8_conv(x, w, b, static_scale=12.0))
+    assert np.abs(loose - ref).max() < 4 * tol
+
+    # values beyond the bound saturate instead of wrapping
+    spike = x.at[0, 0, 0, 0].set(100.0)
+    sat = np.asarray(int8_conv(spike, w, b, static_scale=4.0))
+    assert np.isfinite(sat).all()
