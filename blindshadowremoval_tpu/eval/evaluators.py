@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from blindshadowremoval_tpu.config import Config
+from blindshadowremoval_tpu.data.dataset import prefetch
 from blindshadowremoval_tpu.eval.postprocess import (
     PostprocessParams,
     composite,
@@ -153,7 +154,7 @@ class InTheWildEvaluator(Evaluator):
 
     def run(self, dataset):
         results = []
-        for step, (batch, box, name) in enumerate(dataset):
+        for step, (batch, box, name) in enumerate(prefetch(iter(dataset))):
             results.append(self.run_one(batch, box, name))
         return results
 
@@ -211,11 +212,12 @@ class UCBEvaluator(Evaluator):
     def run_one_fused(self, batch: dict, box: np.ndarray, name: str,
                       parts: dict,
                       params: PostprocessParams = PostprocessParams()):
-        """One device call per image: forward + resize-into-box + heuristics
-        + connected components + composite + PSNR/SSIM fused under one jit
-        (eval/fused.py).  ~4x fewer device round trips than `run_one` —
-        the difference between ~3 s and <1 s per image on a remote TPU.
-        Requires host-rasterized geometry batches (not device_geometry)."""
+        """One device call per image: forward (with in-graph geometry
+        rasterization under config.device_geometry) + resize-into-box +
+        heuristics + connected components + composite + PSNR/SSIM fused
+        under one jit (eval/fused.py).  ~4x fewer device round trips than
+        `run_one` — the difference between ~3 s and <1 s per image on a
+        remote TPU."""
         from blindshadowremoval_tpu.eval.fused import (
             build_fused_ucb_step, prep_part_inputs)
 
@@ -224,19 +226,34 @@ class UCBEvaluator(Evaluator):
         pi = prep_part_inputs(self._resized_parts(parts, size), params)
         key = id(params)
         if getattr(self, "_fused_params_key", None) != key:
-            def fwd(v, i, u, r):
-                return self._apply_gen(v, i, u, r, 4, True)  # frame=4 as run_one
+            if self._devgeo:
+                from blindshadowremoval_tpu.geometry.triangulation import (
+                    device_geometry_maps,
+                )
+
+                def fwd(v, b):
+                    maps = device_geometry_maps(
+                        b["lm"], b["face_pts"], b["uv_tris"],
+                        b["face_tris"], b["reg_tris"], s)
+                    return self._apply_gen(v, b["img"], maps["uv"],
+                                           maps["reg"], 4, True)
+            else:
+                def fwd(v, b):
+                    return self._apply_gen(v, b["img"], b["uv"], b["reg"],
+                                           4, True)   # frame=4 as run_one
 
             self._fused_step = build_fused_ucb_step(fwd, params, s)
             self._fused_params_key = key
-        kept, out, psnr, ssim = jax.device_get(self._fused_step(
-            self.variables, jnp.asarray(batch["img"]),
-            jnp.asarray(batch["uv"]), jnp.asarray(batch["reg"]),
-            jnp.asarray(batch["gt"]), jnp.float32(size), pi))
-        detected = np.repeat(np.asarray(kept), 3, axis=2)
-        self.logger.save_result_image([np.asarray(out)[None]], name)
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+        kept, out_u8, psnr, ssim = jax.device_get(self._fused_step(
+            self.variables, jbatch, jnp.float32(size), pi))
+        # compact egress (see eval/fused.py): PSNR/SSIM came from the f32
+        # composite on device; the fetched pred is uint8 (1/255 grid)
+        pred = np.asarray(out_u8, np.float32) / 255.0
+        detected = np.repeat(np.asarray(kept, np.float32), 3, axis=2)
+        self.logger.save_result_image([pred[None]], name)
         return {"ssim": float(ssim), "psnr": float(psnr),
-                "pred": np.asarray(out), "detected": detected}
+                "pred": pred, "detected": detected}
 
     def run_one(self, batch: dict, box: np.ndarray, name: str, parts: dict,
                 params: PostprocessParams = PostprocessParams()):
@@ -270,17 +287,22 @@ class UCBEvaluator(Evaluator):
             params: PostprocessParams = PostprocessParams(),
             fused: Optional[bool] = None, key_masks_by_name: bool = False):
         """fused=None auto-selects the single-device-call path (run_one_fused,
-        verified identical in tests/test_fused_eval.py) whenever batches
-        carry host-rasterized geometry; device_geometry batches use the
-        host-orchestrated path.  key_masks_by_name=True pairs part masks by
-        filename instead of the reference-faithful positional pairing."""
-        use_fused = (not self._devgeo) if fused is None else fused
+        verified identical in tests/test_fused_eval.py) for both geometry
+        modes.  key_masks_by_name=True pairs part masks by filename instead
+        of the reference-faithful positional pairing."""
+        use_fused = True if fused is None else fused
         runner = self.run_one_fused if use_fused else self.run_one
+
+        def items():
+            for step, (batch, box, name) in enumerate(dataset):
+                parts = self._load_part_masks(
+                    part_mask_root, step,
+                    sample_name=name if key_masks_by_name else None)
+                yield step, batch, box, name, parts
+
         results = []
-        for step, (batch, box, name) in enumerate(dataset):
-            parts = self._load_part_masks(
-                part_mask_root, step,
-                sample_name=name if key_masks_by_name else None)
+        # host parse + mask IO for image i+1 overlaps image i's device call
+        for step, batch, box, name, parts in prefetch(items()):
             r = runner(batch, box, name, parts, params)
             self.logger.display({"ssim": r["ssim"], "psnr": r["psnr"]},
                                 0, step, False, len(dataset.name_list))
@@ -311,7 +333,7 @@ class SFWEvaluator(Evaluator):
 
     def run(self, dataset):
         results = []
-        for step, (batch, box, name) in enumerate(dataset):
+        for step, (batch, box, name) in enumerate(prefetch(iter(dataset))):
             r = self.run_one(batch, box, name)
             self.logger.display(
                 {"ssim": r["ssim"], "psnr": r["psnr"], "auc": r["auc"]},
@@ -343,4 +365,4 @@ class SFWVideoEvaluator(Evaluator):
 
     def run(self, dataset, export_bbox_dir: Optional[str] = None):
         return [self.run_one(batch, box, name, export_bbox_dir)
-                for batch, box, name in dataset]
+                for batch, box, name in prefetch(iter(dataset))]

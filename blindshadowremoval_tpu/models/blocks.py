@@ -55,28 +55,15 @@ class _Int8Conv(nn.Module):
                          static_scale=self.static_scale)
 
 
-def space_to_depth_conv(x: jax.Array, kernel: jax.Array, bias: jax.Array,
-                        dtype: Any) -> jax.Array:
-    """Stride-1 SAME odd-k conv computed in 2x2 space-to-depth space.
-
-    Numerically the same convolution, but expressed as a VALID K2xK2 conv
-    over 2x2-packed pixels (K2 = (k+1)//2): channel counts quadruple, so
-    convs with tiny channel counts — the generator's 7x7 conv1 (3 in) and
-    7x7 output head (2 out) — stop wasting MXU lanes (3/128 input lanes,
-    2/128 output lanes at bf16).  Identity with the direct conv is asserted
-    in tests/test_models.py.
+def s2d_kernel(kernel: jax.Array) -> jax.Array:
+    """[k,k,cin,cout] SAME stride-1 kernel -> [K2,K2,4cin,4cout] VALID
+    kernel over 2x2-packed pixels (K2 = (k+1)//2).
 
     Derivation: with xp = pad(x, k//2) and phases di,pi in {0,1},
     y[2i+di] = sum_kk xp[2i+di+kk] w[kk]; writing di+kk = 2c+pi maps each
-    (output-phase, input-phase) pair to a K2-tap kernel w[2c+pi-di].
-    """
+    (output-phase, input-phase) pair to a K2-tap kernel w[2c+pi-di]."""
     k, _, cin, cout = kernel.shape
-    b, hh, ww, _ = x.shape
-    assert k % 2 == 1 and hh % 2 == 0 and ww % 2 == 0
     k2 = (k + 1) // 2
-    pad = k // 2
-
-    # W2[(c,pi,di),(d,pj,dj),...] = w[2c+pi-di, 2d+pj-dj] (0 outside range)
     c = jnp.arange(k2)
     two = jnp.arange(2)
     kk = 2 * c[:, None, None] + two[None, :, None] - two[None, None, :]
@@ -85,21 +72,47 @@ def space_to_depth_conv(x: jax.Array, kernel: jax.Array, bias: jax.Array,
     wk = kernel[kkc] * valid[..., None, None, None]     # [c,pi,di,l,ci,co]
     wkl = wk[:, :, :, kkc] * valid[None, None, None, ..., None, None]
     # [c,pi,di,d,pj,dj,ci,co] -> [c,d,(pi,pj,ci),(di,dj,co)]
-    w2 = wkl.transpose(0, 3, 1, 4, 6, 2, 5, 7).reshape(
-        k2, k2, 4 * cin, 4 * cout).astype(dtype)
+    return wkl.transpose(0, 3, 1, 4, 6, 2, 5, 7).reshape(
+        k2, k2, 4 * cin, 4 * cout)
 
+
+def s2d_pack(x: jax.Array, k: int) -> jax.Array:
+    """Pad for a SAME odd-k conv and pack 2x2 pixels into channels."""
+    b, hh, ww, cin = x.shape
+    pad = k // 2
     xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-    h2, w2c = (hh + 2 * pad) // 2, (ww + 2 * pad) // 2
-    x2 = xp.reshape(b, h2, 2, w2c, 2, cin).transpose(0, 1, 3, 2, 4, 5)
-    x2 = x2.reshape(b, h2, w2c, 4 * cin).astype(dtype)
+    h2, w2 = (hh + 2 * pad) // 2, (ww + 2 * pad) // 2
+    x2 = xp.reshape(b, h2, 2, w2, 2, cin).transpose(0, 1, 3, 2, 4, 5)
+    return x2.reshape(b, h2, w2, 4 * cin)
 
+
+def d2s_unpack(y2: jax.Array, cout: int) -> jax.Array:
+    """Inverse of the output packing: [b,h/2,w/2,4cout] -> [b,h,w,cout]."""
+    b, oh, ow, _ = y2.shape
+    y = y2.reshape(b, oh, ow, 2, 2, cout).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(b, 2 * oh, 2 * ow, cout)
+
+
+def space_to_depth_conv(x: jax.Array, kernel: jax.Array, bias: jax.Array,
+                        dtype: Any) -> jax.Array:
+    """Stride-1 SAME odd-k conv computed in 2x2 space-to-depth space.
+
+    Numerically the same convolution, but expressed as a VALID K2xK2 conv
+    over 2x2-packed pixels: channel counts quadruple, so convs with tiny
+    channel counts -- the generator's 7x7 conv1 (3 in) and 7x7 output head
+    (2 out) -- stop wasting MXU lanes (3/128 input lanes, 2/128 output
+    lanes at bf16).  Identity with the direct conv is asserted in
+    tests/test_models.py.
+    """
+    k, _, cin, cout = kernel.shape
+    b, hh, ww, _ = x.shape
+    assert k % 2 == 1 and hh % 2 == 0 and ww % 2 == 0
+    w2 = s2d_kernel(kernel).astype(dtype)
+    x2 = s2d_pack(x, k).astype(dtype)
     y2 = jax.lax.conv_general_dilated(
         x2, w2, window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    oh, ow = hh // 2, ww // 2
-    y = y2.reshape(b, oh, ow, 2, 2, cout).transpose(0, 1, 3, 2, 4, 5)
-    y = y.reshape(b, hh, ww, cout)
-    return y + bias.astype(dtype)
+    return d2s_unpack(y2, cout) + bias.astype(dtype)
 
 
 class _S2DConv(nn.Module):

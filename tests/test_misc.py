@@ -63,3 +63,20 @@ def test_pts_load(tmp_path):
     p.write_text("version: 1\nn_points: 3\n{\n1.5 2.5\n3 4\n5.5 6\n}\n")
     pts = pts_load(str(p))
     np.testing.assert_allclose(pts, [[1.5, 2.5], [3, 4], [5.5, 6]])
+
+
+def test_prefetch_preserves_order_and_propagates_errors():
+    from blindshadowremoval_tpu.data.dataset import prefetch
+
+    assert list(prefetch(iter(range(20)), depth=3)) == list(range(20))
+    assert list(prefetch(iter([]))) == []
+
+    def boom():
+        yield 1
+        raise ValueError("parser died")
+
+    it = prefetch(boom())
+    assert next(it) == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="parser died"):
+        list(it)
