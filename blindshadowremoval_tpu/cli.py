@@ -166,10 +166,11 @@ def main(argv=None):
     cfg = get_config(preset, **overrides)
 
     # the TSM ShareLayer reshapes [V,...] into [V/frame, frame, ...] with
-    # frame=4 for ucb/infer (UCBEvaluator) and 10 for sfw-video; a
-    # non-multiple --eval-views would die deep in the model with an opaque
-    # reshape error, so validate here
-    if cfg.variant == "tsm" and args.cmd in ("infer", "ucb"):
+    # frame=4 for ucb (UCBEvaluator); a non-multiple --eval-views would die
+    # deep in the model with an opaque reshape error, so validate here.
+    # (infer/sfw run frame=1 and sfw-video packs fixed 10-frame batches —
+    # any eval_views works there.)
+    if cfg.variant == "tsm" and args.cmd == "ucb":
         frame = 4
         if cfg.eval_views % frame:
             print(f"--eval-views {cfg.eval_views} invalid for --variant tsm: "

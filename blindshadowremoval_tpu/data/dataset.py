@@ -135,24 +135,42 @@ def prefetch(iterable, depth: int = 2):
 
     q: _queue.Queue = _queue.Queue(maxsize=depth)
     done = object()
+    stop = threading.Event()   # consumer gone: unblock + end the producer
+
+    def put(item) -> bool:
+        """Blocking put that gives up once the consumer is gone."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except _queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterable:
-                q.put(item)
-            q.put(done)
+                if not put(item):
+                    return
+            put(done)
         except BaseException as e:  # surface parser errors at the consumer
-            q.put(e)
+            put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is done:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is done:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        # consumer raised or broke out early: stop the producer thread so
+        # it (and the parsed batches it holds) don't leak in long-lived
+        # processes running many evals
+        stop.set()
 
 
 class Dataset:

@@ -189,19 +189,19 @@ class UCBEvaluator(Evaluator):
             folder = os.path.basename(os.path.dirname(sample_name))
             stem = os.path.basename(sample_name).split(".")[0]
             fname = f"{folder}_{stem}-result.png"
-            probe = os.path.join(root, self.PART_DIRS["face_hair"], fname)
-            if not os.path.isfile(probe):
-                raise FileNotFoundError(
-                    f"part mask {fname!r} not found under "
-                    f"{self.PART_DIRS['face_hair']}/ for sample "
-                    f"{sample_name!r}")
         else:
             names = sorted(
                 os.listdir(os.path.join(root, self.PART_DIRS["face_hair"])))
             fname = names[index]
         out = {}
         for key, d in self.PART_DIRS.items():
-            out[key] = cv2.imread(os.path.join(root, d, fname)) / 255.0
+            path = os.path.join(root, d, fname)
+            m = cv2.imread(path)
+            if m is None:   # missing or unreadable in ANY of the 7 dirs
+                raise FileNotFoundError(
+                    f"part mask {path!r} missing/unreadable"
+                    + (f" for sample {sample_name!r}" if sample_name else ""))
+            out[key] = m / 255.0
         return out
 
     def _resized_parts(self, parts: dict, size: int) -> dict:
@@ -224,7 +224,11 @@ class UCBEvaluator(Evaluator):
         s = self.config.img_size
         size = int(min(box[3] - box[1], s))
         pi = prep_part_inputs(self._resized_parts(parts, size), params)
-        key = id(params)
+        # cache key by VALUE (PostprocessParams is a frozen dataclass):
+        # id() can be reused by a later allocation after the first params
+        # object is collected, silently replaying a step compiled with the
+        # old parameter values
+        key = params
         if getattr(self, "_fused_params_key", None) != key:
             if self._devgeo:
                 from blindshadowremoval_tpu.geometry.triangulation import (
@@ -245,13 +249,20 @@ class UCBEvaluator(Evaluator):
             self._fused_step = build_fused_ucb_step(fwd, params, s)
             self._fused_params_key = key
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
-        kept, out_u8, psnr, ssim = jax.device_get(self._fused_step(
+        kept, out_u8, mp_u8, psnr, ssim = jax.device_get(self._fused_step(
             self.variables, jbatch, jnp.float32(size), pi))
         # compact egress (see eval/fused.py): PSNR/SSIM came from the f32
-        # composite on device; the fetched pred is uint8 (1/255 grid)
+        # composite on device; the fetched pred/map are uint8 (1/255 grid)
         pred = np.asarray(out_u8, np.float32) / 255.0
         detected = np.repeat(np.asarray(kept, np.float32), 3, axis=2)
-        self.logger.save_result_image([pred[None]], name)
+        # same 5-panel diagnostic strip as run_one (input, composite,
+        # 2x shadow map, gt, detected); input/gt panels resized on host
+        mp = np.repeat(np.asarray(mp_u8, np.float32) / 255.0, 3, axis=2)
+        tmp = _pad_to(_resize_np(batch["img"][0], size), s)
+        gt_sc = _pad_to(_resize_np(batch["gt"][0], size), s)
+        figs = [tmp[None], pred[None], mp[None] * 2, gt_sc[None],
+                detected[None]]
+        self.logger.save_result_image(figs, name)
         return {"ssim": float(ssim), "psnr": float(psnr),
                 "pred": pred, "detected": detected}
 

@@ -238,11 +238,12 @@ def fused_postprocess(mask_pred: jax.Array, tmp: jax.Array, pi: Any,
 def build_fused_ucb_step(forward_fn, params: PostprocessParams,
                          img_size: int = 256):
     """Returns a jitted fn(variables, batch, size, part_inputs) ->
-    (detected [S,S,1], composite [S,S,3], psnr, ssim) — one device call per
-    image.  `forward_fn(variables, batch)` must return the generator
-    4-tuple (gs, rgb, mask22, dif); `batch` is the dataset's dict of view
-    arrays (host-rasterized maps OR device_geometry primitives — the
-    forward decides), which must include "img" and "gt"."""
+    (detected [S,S,1], composite [S,S,3] uint8, shadow map [S,S,1] uint8,
+    psnr, ssim) — one device call per image.  `forward_fn(variables,
+    batch)` must return the generator 4-tuple (gs, rgb, mask22, dif);
+    `batch` is the dataset's dict of view arrays (host-rasterized maps OR
+    device_geometry primitives — the forward decides), which must include
+    "img" and "gt"."""
     s = img_size
 
     def step(variables, batch, size, pi):
@@ -264,6 +265,9 @@ def build_fused_ucb_step(forward_fn, params: PostprocessParams,
         # ~1 MB -> ~0.3 MB per image, which matters when the chip is behind
         # a slow tunnel (docs/perf.md).
         out_u8 = jnp.round(out * 255.0).astype(jnp.uint8)
-        return kept.astype(bool), out_u8, psnr, ssim
+        # the resized shadow map rides along (64 KB) so the caller can save
+        # the same 5-panel diagnostic strip as the host-orchestrated path
+        mp_u8 = jnp.round(jnp.clip(mp, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        return kept.astype(bool), out_u8, mp_u8, psnr, ssim
 
     return jax.jit(step)

@@ -74,7 +74,9 @@ def rotate_image_and_landmarks(img: np.ndarray, lm: np.ndarray, deg: float):
     s, c = np.sin(np.deg2rad(deg)), np.cos(np.deg2rad(deg))
     x = lm[:, 0] - cols / 2
     y = lm[:, 1] - rows / 2
-    out = np.array(lm, copy=True)   # keep dtype (see face_crop_and_resize)
+    out = np.array(lm, copy=True)   # keep float dtype (see face_crop_and_resize)
+    if not np.issubdtype(out.dtype, np.floating):
+        out = out.astype(np.float32)
     out[:, 0] = y * s + x * c + cols / 2
     out[:, 1] = y * c - x * s + rows / 2
     return rotate_center(img, deg), out
@@ -94,11 +96,15 @@ def face_crop_and_resize(
     coordinates (pre-padding), landmarks are divided by the box side.
     """
     img = np.asarray(img)
-    # keep the caller's landmark dtype (float32 for the shipped .npy
+    # keep the caller's FLOAT landmark dtype (float32 for the shipped .npy
     # contract), matching utils.py:358 `np.copy(lm0)`: the box corners go
     # through int() truncation, so f32-vs-f64 rounding of the center/length
-    # (e.g. 128.0f vs 127.99999809) shifts the crop window by a full pixel
+    # (e.g. 128.0f vs 127.99999809) shifts the crop window by a full pixel.
+    # Integer landmarks (lists, annotation-tool exports) must promote, or
+    # the rotated coordinates below would truncate per-landmark.
     lm = np.array(lm, copy=True)
+    if not np.issubdtype(lm.dtype, np.floating):
+        lm = lm.astype(np.float32)
     rows, cols = img.shape[:2]
 
     if aug:

@@ -80,3 +80,74 @@ def test_prefetch_preserves_order_and_propagates_errors():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="parser died"):
         list(it)
+
+def test_prefetch_abandoned_consumer_stops_producer():
+    """Breaking out of (or closing) a prefetch generator must terminate the
+    producer thread rather than leaving it blocked in q.put forever."""
+    import threading
+    import time
+
+    from blindshadowremoval_tpu.data.dataset import prefetch
+
+    produced = []
+
+    def src():
+        for i in range(1000):
+            produced.append(i)
+            yield i
+
+    before = threading.active_count()
+    it = prefetch(src(), depth=2)
+    assert next(it) == 0
+    it.close()   # consumer abandons early (same path as a raised exception)
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"
+    assert len(produced) < 1000, "producer ran to completion after close"
+
+
+def test_crop_promotes_integer_landmarks():
+    """Integer landmark inputs must promote to float before the rotation
+    writes float coordinates back (truncation would shift points ~1px)."""
+    from blindshadowremoval_tpu.geometry.crop import (
+        face_crop_and_resize,
+        rotate_image_and_landmarks,
+    )
+
+    img = np.zeros((300, 300, 3), np.float32)
+    lm_f = np.linspace(40, 260, 136, dtype=np.float32).reshape(68, 2)
+    lm_i = np.round(lm_f).astype(np.int64)
+
+    _, out_i = rotate_image_and_landmarks(img, lm_i, 7.3)
+    _, out_f = rotate_image_and_landmarks(img, lm_i.astype(np.float64), 7.3)
+    assert np.issubdtype(out_i.dtype, np.floating)
+    np.testing.assert_allclose(out_i, out_f, atol=1e-4)
+
+    crop_i, lmn_i, _, box_i = face_crop_and_resize(img, lm_i, 256)
+    crop_f, lmn_f, _, box_f = face_crop_and_resize(
+        img, lm_i.astype(np.float32), 256)
+    assert np.array_equal(box_i, box_f)
+    np.testing.assert_allclose(lmn_i, lmn_f, atol=1e-6)
+
+
+def test_ucb_part_masks_missing_raises(tmp_path):
+    """A mask present in face_hair but absent from another part dir must
+    raise FileNotFoundError, not crash on None arithmetic."""
+    import cv2
+    import pytest
+
+    from blindshadowremoval_tpu.eval.evaluators import UCBEvaluator
+
+    root = tmp_path
+    fname = "vid_0001-result.png"
+    for d in UCBEvaluator.PART_DIRS.values():
+        (root / d).mkdir()
+    # write the mask ONLY into face_hair
+    cv2.imwrite(str(root / UCBEvaluator.PART_DIRS["face_hair"] / fname),
+                np.zeros((8, 8, 3), np.uint8))
+    ev = object.__new__(UCBEvaluator)   # _load_part_masks needs no state
+    with pytest.raises(FileNotFoundError, match=fname):
+        ev._load_part_masks(str(root), 0)
+    with pytest.raises(FileNotFoundError, match=fname):
+        ev._load_part_masks(str(root), 0, sample_name="vid/0001.npy")

@@ -68,9 +68,28 @@ def bench_config(batch_size: int, steps: int, compute_dtype: str,
             body, (state, key), jnp.arange(steps))
         return state, ls.sum()
 
-    run = jax.jit(run_fn, donate_argnums=(0,) if donate else ())
+    # AOT-compile so the same executable also reports its XLA cost analysis
+    # (one remote compile; jit would cache-miss a separate lower().compile())
+    run = (jax.jit(run_fn, donate_argnums=(0,) if donate else ())
+           .lower(state, jax.random.PRNGKey(1)).compile())
 
-    # warmup (compile + one execution), fetch to force completion
+    # XLA's own FLOP count -> model FLOP utilization against the v5e bf16
+    # peak (197 TFLOP/s).  Verified empirically (2026-08-17): the HLO cost
+    # analysis counts a while/scan body ONCE, not x trip count — so the
+    # K-step scanned program's "flops" is the per-step figure directly
+    # (cross-checked: one plain conv reports its analytic FLOPs exactly,
+    # and the scanned step reports ~3.07 TFLOP ~= the analytic single-step
+    # estimate, not 20x it).
+    step_flops = None
+    try:
+        ca = run.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        if ca and ca.get("flops"):
+            step_flops = float(ca["flops"])
+    except Exception:
+        pass
+
+    # warmup (one execution), fetch to force completion
     state1, tot = run(state, jax.random.PRNGKey(1))
     w = float(tot)
     t0 = time.time()
@@ -79,7 +98,7 @@ def bench_config(batch_size: int, steps: int, compute_dtype: str,
     dt = time.time() - t0
     assert np.isfinite(v) and v != w, (v, w)
     step_time = dt / steps
-    return {
+    out = {
         "batch_size": batch_size,
         "views_per_step": b2,
         "compute_dtype": compute_dtype,
@@ -89,6 +108,11 @@ def bench_config(batch_size: int, steps: int, compute_dtype: str,
         "steps_per_sec": round(1.0 / step_time, 2),
         "views_per_sec": round(b2 / step_time, 1),
     }
+    if step_flops:
+        out["step_tflops"] = round(step_flops / 1e12, 3)
+        out["mfu_pct_vs_bf16_peak"] = round(
+            100.0 * step_flops / step_time / 197e12, 1)
+    return out
 
 
 def main():

@@ -41,7 +41,6 @@ def main():
     from blindshadowremoval_tpu.config import get_config
     from blindshadowremoval_tpu.data.dataset import Dataset
     from blindshadowremoval_tpu.eval.evaluators import UCBEvaluator
-    from blindshadowremoval_tpu.models.generator import GSCGenerator
 
     print("backend:", jax.default_backend(), jax.devices()[0])
     cfg = get_config(
@@ -50,8 +49,6 @@ def main():
         checkpoint_dir="/tmp/bench_ucb")
     os.makedirs("/tmp/bench_ucb", exist_ok=True)
 
-    gen = GSCGenerator(dtype=None)  # dtype comes from build_generator config
-    del gen
     ds = Dataset(cfg, "test")
     from blindshadowremoval_tpu.train.trainer import build_generator
 

@@ -32,7 +32,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", default="runs/demo_gsc")
     ap.add_argument("--images", type=int, default=8)
-    ap.add_argument("--cpu", action="store_true", default=True)
+    ap.add_argument("--cpu", action=argparse.BooleanOptionalAction,
+                default=True,
+                help="force the CPU backend (--no-cpu to calibrate on the attached TPU)")
     args = ap.parse_args()
 
     import jax

@@ -10,16 +10,14 @@ Usage: python tools/profile_infer.py [--batch 128] [--iters 8]
 from __future__ import annotations
 
 import argparse
-import glob
-import gzip
-import json
 import os
 import sys
-from collections import defaultdict
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.trace_utils import parse_device_events, print_top  # noqa: E402
 
 
 def main():
@@ -60,35 +58,11 @@ def main():
             acc += float(fwd(variables, img + jnp.float32(t * 1e-6), uv, reg))
     print("traced", args.iters, "forwards; acc", acc)
 
-    # parse the trace: aggregate device-side events by name
-    files = sorted(glob.glob(args.out + "/**/*.trace.json.gz", recursive=True))
-    assert files, f"no trace under {args.out}"
-    with gzip.open(files[-1], "rt") as fh:
-        trace = json.load(fh)
-    events = trace.get("traceEvents", [])
-    # device lanes: pids whose process names mention TPU/device
-    dev_pids = set()
-    for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            name = e.get("args", {}).get("name", "")
-            if "TPU" in name or "/device" in name.lower():
-                dev_pids.add(e["pid"])
-    agg = defaultdict(float)
-    cnt = defaultdict(int)
-    total = 0.0
-    for e in events:
-        if e.get("ph") == "X" and e.get("pid") in dev_pids:
-            name = e.get("name", "?")
-            dur = float(e.get("dur", 0.0))
-            agg[name] += dur
-            cnt[name] += 1
-            total += dur
-    rows = sorted(agg.items(), key=lambda kv: -kv[1])[:args.top]
-    print(f"\ntotal device time {total/1e3:.1f} ms over {args.iters} fwd "
-          f"x batch {args.batch} = {total/args.iters/args.batch:.1f} us/face")
-    for name, dur in rows:
-        print(f"{dur/1e3:9.2f} ms  {100*dur/total:5.1f}%  x{cnt[name]:<4d} "
-              f"{name[:110]}")
+    agg, cnt, module_total = parse_device_events(args.out)
+    print(f"\ntotal device time {module_total/1e3:.1f} ms over {args.iters} "
+          f"fwd x batch {args.batch} = "
+          f"{module_total/args.iters/args.batch:.1f} us/face")
+    print_top(agg, cnt, module_total, top=args.top)
 
 
 if __name__ == "__main__":
