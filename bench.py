@@ -52,8 +52,9 @@ def main() -> None:
     from blindshadowremoval_tpu.models.generator import GSCGenerator
 
     s = 256
-    # serving configuration: bf16 + int8 output head (output parity vs f32
-    # measured at 73 dB PSNR — indistinguishable from the bf16-only path).
+    # serving configuration: bf16 + int8 output head (head-output parity
+    # 38-40 dB vs f32; final-output ~22 dB on a trained checkpoint via the
+    # mask binarization — the throughput-first opt-in path, docs/perf.md).
     # The static activation bound (18.29, tools/calibrate_int8_head.py on
     # real UCB data with the demo checkpoint) removes the dynamic-max
     # quantize pass so it fuses into the producer (ops/quant.py).

@@ -29,8 +29,9 @@ def _add_common(p):
     p.add_argument("--variant", default=None,
                    choices=[None, "gsc", "tsm", "rgb"])
     p.add_argument("--int8-head", action="store_true",
-                   help="serve the output head int8 (+12%% throughput, "
-                        "~73 dB output parity vs f32)")
+                   help="serve the output head int8 (~+11%% throughput; "
+                        "head parity 38-40 dB, final output ~22 dB vs "
+                        "f32 on a trained ckpt — see docs/perf.md)")
     p.add_argument("--int8-head-scale", type=float, default=0.0,
                    help="calibrated static activation bound for the int8 "
                         "head (tools/calibrate_int8_head.py); removes the "
@@ -119,7 +120,7 @@ def _restore(cfg):
     from blindshadowremoval_tpu.train.trainer import Trainer
     from blindshadowremoval_tpu.utils.checkpoint import CheckpointManager
 
-    trainer = Trainer(cfg)
+    trainer = Trainer.shared(cfg)
     state = trainer.init_state(jax.random.PRNGKey(0))
     mgr = CheckpointManager(cfg.checkpoint_dir)
     state, step = mgr.restore_latest(state)

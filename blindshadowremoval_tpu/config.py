@@ -74,8 +74,9 @@ class Config:
                                            # exactly.
     remat: bool = False                    # rematerialize bottleneck blocks in training
     int8_head: bool = False                # serve the 7x7 output head int8
-                                           # (+12% e2e, output parity ~73 dB
-                                           # vs f32; ops/quant.py)
+                                           # (~+11% e2e; head parity 38-40 dB,
+                                           # final output ~22 dB vs f32 on
+                                           # a trained ckpt — docs/perf.md)
     int8_head_scale: float = 0.0           # calibrated static activation
                                            # bound for the int8 head (0 =
                                            # dynamic per-sample max); see

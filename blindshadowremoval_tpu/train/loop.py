@@ -42,7 +42,7 @@ def _next_batch(feed, batch_size: int) -> dict:
 def fit(config: Config, dataset_train, dataset_val=None,
         trainer: Optional[Trainer] = None, seed: int = 0):
     """Run the full training schedule; returns the final TrainState."""
-    trainer = trainer or Trainer(config)
+    trainer = trainer or Trainer.shared(config)
     key = jax.random.PRNGKey(seed)
     state = trainer.init_state(key)
 

@@ -50,6 +50,9 @@ from blindshadowremoval_tpu.train.losses import (
 )
 
 
+_SHARED_TRAINERS: dict = {}   # Config -> Trainer (see Trainer.shared)
+
+
 class TrainState(struct.PyTreeNode):
     step: jax.Array
     gen_params: Any
@@ -94,6 +97,24 @@ class Trainer:
 
     config: Config
     vgg_weights: Any = None          # optional pretrained VGG param tree
+
+    @classmethod
+    def shared(cls, config: Config, vgg_weights: Any = None) -> "Trainer":
+        """Process-wide Trainer for `config`: constructs at most one.
+
+        Because `self` is a static jit argument hashed by IDENTITY (see the
+        class docstring), a second Trainer built from an equal config pays
+        the full train_step compile again — 2.5-10 min per step variant on
+        a remote-attached TPU.  This constructor makes reuse the default;
+        instances with explicit `vgg_weights` (an unhashable pytree) are
+        not cached.
+        """
+        if vgg_weights is not None:
+            return cls(config, vgg_weights)
+        t = _SHARED_TRAINERS.get(config)
+        if t is None:
+            t = _SHARED_TRAINERS[config] = cls(config)
+        return t
 
     def __post_init__(self):
         cfg = self.config

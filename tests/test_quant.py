@@ -31,7 +31,8 @@ def test_int8_conv_close_to_float(rng):
 
 def test_int8_head_checkpoint_interchange(rng):
     """int8_head=True has the identical parameter tree and near-identical
-    outputs for the same checkpoint (measured 73 dB PSNR vs f32 on TPU)."""
+    outputs for the same checkpoint (head parity 38-40 dB vs f32 on TPU;
+    docs/perf.md)."""
     from blindshadowremoval_tpu.models.generator import GSCGenerator
 
     s = 32

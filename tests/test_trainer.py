@@ -142,3 +142,20 @@ def test_fit_assembles_batches(tmp_path, rng):
     leaves = jax.tree.leaves(state.gen_params)
     assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
     assert (tmp_path / "ckpt").exists()
+
+
+def test_trainer_shared_caches_by_config_value():
+    """Trainer.shared must return the SAME instance for equal configs (a
+    second instance would silently recompile every jitted step variant,
+    since `self` is an identity-hashed static jit argument)."""
+    from blindshadowremoval_tpu.config import get_config
+    from blindshadowremoval_tpu.train.trainer import Trainer
+
+    cfg_a = get_config("train", img_size=64, batch_size=1)
+    cfg_b = get_config("train", img_size=64, batch_size=1)
+    assert cfg_a is not cfg_b
+    t1 = Trainer.shared(cfg_a)
+    t2 = Trainer.shared(cfg_b)
+    assert t1 is t2
+    t3 = Trainer.shared(get_config("train", img_size=64, batch_size=2))
+    assert t3 is not t1

@@ -28,7 +28,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def bench_config(batch_size: int, steps: int, compute_dtype: str,
                  vgg_dtype: str, donate: bool = True,
-                 remat: bool = False) -> dict:
+                 remat: bool = False,
+                 compiler_options: dict | None = None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -70,8 +71,12 @@ def bench_config(batch_size: int, steps: int, compute_dtype: str,
 
     # AOT-compile so the same executable also reports its XLA cost analysis
     # (one remote compile; jit would cache-miss a separate lower().compile())
+    # and can take per-run XLA compiler options (XLA_FLAGS with TPU-only
+    # flags die client-side in this environment; PJRT compiler_options
+    # propagate to the server-side compile)
     run = (jax.jit(run_fn, donate_argnums=(0,) if donate else ())
-           .lower(state, jax.random.PRNGKey(1)).compile())
+           .lower(state, jax.random.PRNGKey(1))
+           .compile(compiler_options=compiler_options or None))
 
     # XLA's own FLOP count -> model FLOP utilization against the v5e bf16
     # peak (197 TFLOP/s).  Verified empirically (2026-08-17): the HLO cost
@@ -125,10 +130,19 @@ def main():
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize bottleneck blocks (fits batch 32+ "
                          "in 16 GB HBM)")
+    ap.add_argument("--compiler-options", default="",
+                    help="comma-separated k=v XLA compiler options for the "
+                         "server-side compile, e.g. "
+                         "xla_tpu_scoped_vmem_limit_kib=65536")
     args = ap.parse_args()
+    opts = dict(kv.split("=", 1)
+                for kv in args.compiler_options.split(",") if kv)
     for b in [int(x) for x in args.batches.split(",")]:
         r = bench_config(b, args.steps, args.compute_dtype, args.vgg_dtype,
-                         donate=not args.no_donate, remat=args.remat)
+                         donate=not args.no_donate, remat=args.remat,
+                         compiler_options=opts)
+        if opts:
+            r["compiler_options"] = opts
         print(json.dumps(r))
 
 
