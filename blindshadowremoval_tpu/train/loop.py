@@ -9,6 +9,7 @@ jitted G+D update.
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Optional
 
@@ -57,13 +58,21 @@ def fit(config: Config, dataset_train, dataset_val=None,
     feed = iter(dataset_train)
     feed_val = iter(dataset_val) if dataset_val is not None else None
 
+    # the loop owns the state exclusively, so donate it: the old TrainState
+    # (~250 MB of params + Adam moments) is reused in place instead of
+    # copied every step.  (Trainer.train_step itself does not donate —
+    # callers that reuse a state after stepping, e.g. tests, stay valid.)
+    raw_step = type(trainer).train_step.__wrapped__
+    step_fn = jax.jit(functools.partial(raw_step, trainer),
+                      static_argnames=("train",),
+                      donate_argnames=("state",))
+
     for epoch in range(last_epoch, config.max_epoch):
         t0 = time.time()
         for step in range(config.steps_per_epoch):
             batch = _next_batch(feed, config.batch_size)
             key, sub = jax.random.split(key)
-            state, losses, figs = trainer.train_step(state, batch, sub,
-                                                     train=True)
+            state, losses, figs = step_fn(state, batch, sub, train=True)
             # fetching losses synchronizes the device; throttle on TPU via
             # config.log_every_steps (figure dumps keep their own schedule)
             if step % config.log_every_steps == 0:
@@ -77,8 +86,9 @@ def fit(config: Config, dataset_train, dataset_val=None,
             for step in range(config.steps_per_epoch // 10):
                 batch = _next_batch(feed_val, config.batch_size)
                 key, sub = jax.random.split(key)
-                _, losses, figs = trainer.train_step(state, batch, sub,
-                                                     train=False)
+                # the eval step returns the state unchanged; rebind it (the
+                # input buffers were donated)
+                state, losses, figs = step_fn(state, batch, sub, train=False)
                 log.display(losses, epoch, step, False,
                             config.steps_per_epoch // 10)
                 log.save_figures([figs["img"], figs["gt"], figs["pred"]],

@@ -124,7 +124,7 @@ def test_fit_assembles_batches(tmp_path, rng):
     from blindshadowremoval_tpu.train.loop import fit
 
     cfg = get_config("train", img_size=32, batch_size=2,
-                     compute_dtype="float32", steps_per_epoch=2, max_epoch=1,
+                     compute_dtype="float32", steps_per_epoch=10, max_epoch=1,
                      checkpoint_dir=str(tmp_path / "ckpt"), img_log_freq=10)
 
     def samples():
@@ -136,7 +136,9 @@ def test_fit_assembles_batches(tmp_path, rng):
         def __iter__(self):
             return samples()
 
-    state = fit(cfg, FakeDataset())
+    # dataset_val exercises the val pass (steps_per_epoch // 10 = 1 step),
+    # including the donated-state rebind after the train=False step
+    state = fit(cfg, FakeDataset(), dataset_val=FakeDataset())
     assert int(state.step) == cfg.steps_per_epoch
     # the step consumed 2 samples -> 4 views; BN stats exist and are finite
     leaves = jax.tree.leaves(state.gen_params)
