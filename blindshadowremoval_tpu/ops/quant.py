@@ -6,7 +6,10 @@ conv) but 2x faster for the MXU-pathological small-output-channel head
 (7x7 x 64 -> 2: 44 vs 84 us/face — the single most expensive op in the
 generator).  So quantization here is surgical: only the output head runs
 int8, opt-in (`int8_head=True` on the generators), everything else stays in
-the module dtype.
+the module dtype.  Re-measured with STATIC scales (which fuse the quantize
+pass away, tools/bench_int8_decoder.py): still slower for ordinary convs —
+up3 ConvT 72.8 vs 65.9 us/face, conv1 12.5 vs 10.4 — the v5e MXU runs bf16
+at full rate, so int8 buys nothing outside the lane-starved head.
 
 Scheme: symmetric int8, per-output-channel weight scales, dynamic per-sample
 activation scale (max-abs over H/W/C).  The quantize pass fuses into the
