@@ -80,6 +80,11 @@ def build_parser():
         if name == "ucb":
             p.add_argument("--part-masks", required=True,
                            help="root containing the UCB_input_images_* dirs")
+            p.add_argument("--no-compact-ingress", action="store_true",
+                           help="upload eval views as f32 instead of uint16 "
+                                "fixed-point (compact ingress is on by "
+                                "default for the CLI: 2x less tunnel "
+                                "traffic, metrics move < 0.001 dB)")
         if name == "sfw-video":
             p.add_argument("--export-bbox", default=None)
 
@@ -164,6 +169,9 @@ def main(argv=None):
             overrides["eval_views"] = args.eval_views
         if getattr(args, "device_geometry", False):
             overrides["device_geometry"] = True
+        if args.cmd == "ucb" and not getattr(args, "no_compact_ingress",
+                                             False):
+            overrides["compact_ingress"] = True
     cfg = get_config(preset, **overrides)
 
     # the TSM ShareLayer reshapes [V,...] into [V/frame, frame, ...] with
@@ -253,7 +261,7 @@ def run_infer_serving(cfg, variables, args):
         return 1
     svc = ShadowRemovalService(
         cfg, variables, batch_size=min(64, max(1, len(names))),
-        compact_output=True)
+        compact_output=True, compact_ingress=True)
     results = svc.remove_shadows(images, lms)
     log = TrainLogger(cfg.checkpoint_dir)
     for name, r in zip(names, results):

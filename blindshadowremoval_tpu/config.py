@@ -94,6 +94,18 @@ class Config:
     device_geometry: bool = False          # rasterize UV/offset/face maps
                                            # in-graph from landmarks instead
                                            # of on the host (train pipeline)
+    compact_ingress: bool = False          # ship [0,1] eval view arrays to
+                                           # the device as uint16 fixed-point
+                                           # (dequantized in-graph) instead
+                                           # of f32 — 2x less host->device
+                                           # traffic, which dominates eval
+                                           # wall time on a remote-attached
+                                           # chip.  Quantization step 1/65535
+                                           # is far below the bf16 compute
+                                           # noise; metrics move < 0.001 dB.
+                                           # Off at the library surface (an
+                                           # ingress contract change); the
+                                           # CLI eval commands enable it.
     param_dtype: str = "float32"
     checkpoint_dir: str = "./checkpoints"
     mode: str = "in_the_wild"

@@ -134,9 +134,13 @@ class Evaluator:
                 jnp.asarray(batch["reg_tris"]), frame, share)
             face = np.asarray(face)
         else:
+            # reg feeds only the TSM ShareLayer warps; gsc/rgb never read it
+            # (model.py:221 declares but never calls ShareLayer), so don't
+            # ship [V,S,S,6] of dead f32 weight to a remote device
+            reg = (jnp.asarray(batch["reg"])
+                   if self.config.variant == "tsm" else None)
             out, _ = self._fwd(self.variables, jnp.asarray(batch["img"]),
-                               jnp.asarray(batch["uv"]),
-                               jnp.asarray(batch["reg"]), frame, share)
+                               jnp.asarray(batch["uv"]), reg, frame, share)
             face = np.asarray(batch["face"])
         return tuple(np.asarray(o) for o in out) + (face,)
 
@@ -209,6 +213,37 @@ class UCBEvaluator(Evaluator):
         return {k: _pad_to(np.round(_resize_np(v, size)), s)
                 for k, v in parts.items()}
 
+    def _ingress(self, batch: dict) -> dict:
+        """Host->device payload for the fused step.
+
+        Ships ONLY the keys the fused graph consumes: the GSC/RGB variants
+        ignore `reg` entirely (the reference declares a ShareLayer but never
+        calls it in those forwards, model.py:221), and `face` is replaced by
+        the part-mask face in UCB postprocessing — together 1.8 MB/image of
+        dead f32 weight on the wire at eval_views=1.  Under
+        `config.compact_ingress` the [0,1]-bounded arrays additionally go as
+        uint16 fixed-point (dequantized in-graph, eval/fused.py) for another
+        2x.  On a remote-attached chip the upload dominates per-image eval
+        latency (docs/perf.md), so this is the difference between ~4 MB and
+        ~1.1 MB per image."""
+        needed = {"img", "gt"}
+        if self._devgeo:
+            needed |= {"lm", "face_pts", "uv_tris", "face_tris", "reg_tris"}
+        else:
+            needed |= {"uv"}
+            if self.config.variant == "tsm":
+                needed |= {"reg"}
+        compact = getattr(self.config, "compact_ingress", False)
+        out = {}
+        for k, v in batch.items():
+            if k not in needed:
+                continue
+            if compact and k in ("img", "gt", "uv", "face"):
+                v = np.rint(np.clip(np.asarray(v), 0.0, 1.0)
+                            * 65535.0).astype(np.uint16)
+            out[k] = jnp.asarray(v)
+        return out
+
     def run_one_fused(self, batch: dict, box: np.ndarray, name: str,
                       parts: dict,
                       params: PostprocessParams = PostprocessParams()):
@@ -243,12 +278,14 @@ class UCBEvaluator(Evaluator):
                                            maps["reg"], 4, True)
             else:
                 def fwd(v, b):
-                    return self._apply_gen(v, b["img"], b["uv"], b["reg"],
-                                           4, True)   # frame=4 as run_one
+                    # reg is absent for gsc/rgb (_ingress drops it: those
+                    # forwards never read it) and the generators accept None
+                    return self._apply_gen(v, b["img"], b["uv"],
+                                           b.get("reg"), 4, True)
 
             self._fused_step = build_fused_ucb_step(fwd, params, s)
             self._fused_params_key = key
-        jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+        jbatch = self._ingress(batch)
         kept, out_u8, mp_u8, psnr, ssim = jax.device_get(self._fused_step(
             self.variables, jbatch, jnp.float32(size), pi))
         # compact egress (see eval/fused.py): PSNR/SSIM came from the f32

@@ -247,6 +247,12 @@ def build_fused_ucb_step(forward_fn, params: PostprocessParams,
     s = img_size
 
     def step(variables, batch, size, pi):
+        # compact ingress (config.compact_ingress): uint16 arrays are [0,1]
+        # fixed-point — half the host->device bytes of f32, dequantized here
+        # as a fused elementwise pass (evaluators.py:_ingress quantizes)
+        batch = {k: v.astype(jnp.float32) / 65535.0
+                 if v.dtype == jnp.uint16 else v
+                 for k, v in batch.items()}
         _, rgb, _, mask_pred = forward_fn(variables, batch)
         a = dynamic_resize_matrix(size, s)
 

@@ -82,6 +82,52 @@ def test_fused_matches_host_pipeline(tmp_path):
 
 
 @needs_ref
+def test_fused_compact_ingress(tmp_path):
+    """config.compact_ingress ships [0,1] view arrays as uint16 fixed-point
+    (dequantized in-graph) and drops keys the graph never reads (reg/face
+    for gsc).  The 1/65535 quantization must not move the detected mask and
+    may move metrics only by far less than the bf16 compute noise the eval
+    already tolerates."""
+    golden = np.load(os.path.join(os.path.dirname(__file__), "goldens",
+                                  "tf_ref", "e2e_eval.npz"))
+    gen = GSCGenerator()
+    z3 = np.zeros((1, 64, 64, 3), np.float32)
+    variables = gen.init(jax.random.PRNGKey(0), z3, z3,
+                         np.zeros((1, 64, 64, 6), np.float32))
+    weights = synthetic_tf_weights(variables, generator_mapping(), seed=0)
+    weights["generator/clr_conv3/conv/bias"] = (
+        weights["generator/clr_conv3/conv/bias"] + 0.5)
+    variables = load_weights_dict(weights, variables, generator_mapping())
+
+    kw = dict(
+        data_dirs_test=(os.path.join(REF, "UCB", "train", "input", "*"),),
+        eval_views=1, compute_dtype="float32", part_mask_root=REF,
+        checkpoint_dir=str(tmp_path))
+    ev_f32 = UCBEvaluator(get_config("ucb", **kw), variables)
+    ev_u16 = UCBEvaluator(get_config("ucb", compact_ingress=True, **kw),
+                          variables)
+
+    # the compact payload must actually be smaller: no reg/face, uint16
+    ds = Dataset(ev_f32.config, "test")
+    batch, _, name = next(iter(ds))
+    jb = ev_u16._ingress(batch)
+    assert set(jb) == {"img", "gt", "uv"}
+    assert all(jb[k].dtype == np.uint16 for k in ("img", "gt", "uv"))
+    full = sum(np.asarray(v).nbytes for v in batch.values())
+    sent = sum(np.asarray(v).nbytes for v in jb.values())
+    assert sent < full / 3, (sent, full)
+
+    box = golden["ucb0_box"]
+    parts = ev_f32._load_part_masks(REF, 0)
+    a = ev_f32.run_one_fused(batch, box, "ci_f32", parts)
+    b = ev_u16.run_one_fused(batch, box, "ci_u16", parts)
+    assert (a["detected"] == b["detected"]).all()
+    assert np.abs(a["pred"] - b["pred"]).max() <= 1.5 / 255
+    assert abs(a["psnr"] - b["psnr"]) < 0.01
+    assert abs(a["ssim"] - b["ssim"]) < 1e-4
+
+
+@needs_ref
 def test_fused_matches_host_pipeline_device_geometry(tmp_path):
     """Under config.device_geometry the fused step rasterizes the UV/offset
     maps in-graph; it must match the host-orchestrated devgeo path."""

@@ -126,6 +126,37 @@ def test_serving_tail_batch_matches_evaluator():
                                    atol=atol_mask)
 
 
+def test_serving_compact_ingress_parity():
+    """compact_ingress ships the request image (and uv in host-geometry
+    mode) as uint16 fixed-point; outputs must match the f32-ingress path
+    within the 1/65535 quantization's propagated effect."""
+    from blindshadowremoval_tpu.eval.serving import ShadowRemovalService
+    from blindshadowremoval_tpu.train.trainer import build_generator
+
+    cfg = get_config("in_the_wild", img_size=S, compute_dtype="float32")
+    gen = build_generator(cfg)
+    z = np.zeros((1, S, S, 3), np.float32)
+    variables = gen.init(jax.random.PRNGKey(0), z, z,
+                         np.zeros((1, S, S, 6), np.float32))
+
+    rng = np.random.default_rng(1)
+    img = rng.uniform(size=(400, 400, 3)).astype(np.float32)
+    lm = rng.uniform(120, 280, size=(68, 2)).astype(np.float32)
+
+    for devgeo in (True, False):
+        a = ShadowRemovalService(cfg, variables, batch_size=2,
+                                 device_geometry=devgeo)
+        b = ShadowRemovalService(cfg, variables, batch_size=2,
+                                 device_geometry=devgeo,
+                                 compact_ingress=True)
+        ra = a.remove_shadows([img] * 3, [lm] * 3)
+        rb = b.remove_shadows([img] * 3, [lm] * 3)
+        for x, y in zip(ra, rb):
+            np.testing.assert_allclose(x["pred"], y["pred"], atol=1e-3)
+            np.testing.assert_allclose(x["mask_pred"], y["mask_pred"],
+                                       atol=1e-3)
+
+
 def test_host_local_batch_single_process():
     from blindshadowremoval_tpu.parallel.distributed import (
         global_mesh,

@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--images", type=int, default=8)
     ap.add_argument("--views", type=int, default=1)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--compact-ingress", action="store_true",
+                    help="uint16 fixed-point view upload (the CLI default)")
     args = ap.parse_args()
 
     import jax
@@ -46,6 +48,7 @@ def main():
     cfg = get_config(
         "ucb", data_dirs_test=(os.path.join(REF, "UCB", "train", "input", "*"),),
         eval_views=args.views, compute_dtype=args.dtype, part_mask_root=REF,
+        compact_ingress=args.compact_ingress,
         checkpoint_dir="/tmp/bench_ucb")
     os.makedirs("/tmp/bench_ucb", exist_ok=True)
 
@@ -79,7 +82,8 @@ def main():
         print(label, results[label], flush=True)
 
     print(json.dumps({"bench": "ucb_eval", "views": args.views,
-                      "dtype": args.dtype, **results}))
+                      "dtype": args.dtype,
+                      "compact_ingress": args.compact_ingress, **results}))
 
 
 def _args(item, label):
