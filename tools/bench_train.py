@@ -58,15 +58,22 @@ def bench_config(batch_size: int, steps: int, compute_dtype: str,
     # raw (unjitted) step body so K steps chain inside one executable
     raw_step = type(trainer).train_step.__wrapped__
 
-    def body(carry, i):
-        state, key = carry
-        key, sub = jax.random.split(key)
-        new_state, losses, _ = raw_step(trainer, state, batch, sub, train=True)
-        return (new_state, key), losses["recon_c"]
+    # batch must be an ARGUMENT, not a closure capture: jit embeds
+    # closed-over device arrays as HLO constants, so the remote compile
+    # request would carry the whole batch as literals (~285 MB at batch 32,
+    # the 2.5-10 min compiles; HTTP 413 at batch 64 — docs/perf.md)
+    def body_with(batch):
+        def body(carry, i):
+            state, key = carry
+            key, sub = jax.random.split(key)
+            new_state, losses, _ = raw_step(trainer, state, batch, sub,
+                                            train=True)
+            return (new_state, key), losses["recon_c"]
+        return body
 
-    def run_fn(state, key):
+    def run_fn(state, key, batch):
         (state, _), ls = jax.lax.scan(
-            body, (state, key), jnp.arange(steps))
+            body_with(batch), (state, key), jnp.arange(steps))
         return state, ls.sum()
 
     # AOT-compile so the same executable also reports its XLA cost analysis
@@ -75,7 +82,7 @@ def bench_config(batch_size: int, steps: int, compute_dtype: str,
     # flags die client-side in this environment; PJRT compiler_options
     # propagate to the server-side compile)
     run = (jax.jit(run_fn, donate_argnums=(0,) if donate else ())
-           .lower(state, jax.random.PRNGKey(1))
+           .lower(state, jax.random.PRNGKey(1), batch)
            .compile(compiler_options=compiler_options or None))
 
     # XLA's own FLOP count -> model FLOP utilization against the v5e bf16
@@ -95,10 +102,10 @@ def bench_config(batch_size: int, steps: int, compute_dtype: str,
         pass
 
     # warmup (one execution), fetch to force completion
-    state1, tot = run(state, jax.random.PRNGKey(1))
+    state1, tot = run(state, jax.random.PRNGKey(1), batch)
     w = float(tot)
     t0 = time.time()
-    _, tot2 = run(state1, jax.random.PRNGKey(2))
+    _, tot2 = run(state1, jax.random.PRNGKey(2), batch)
     v = float(tot2)
     dt = time.time() - t0
     assert np.isfinite(v) and v != w, (v, w)

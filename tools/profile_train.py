@@ -61,20 +61,23 @@ def main():
 
     raw_step = type(trainer).train_step.__wrapped__
 
+    # batch as an argument, not a closure capture: jit embeds closed-over
+    # device arrays as HLO constants, bloating the remote compile request
+    # by the whole batch size (docs/perf.md)
     @jax.jit
-    def step(state, key):
+    def step(state, key, batch):
         new_state, losses, _ = raw_step(trainer, state, batch, key,
                                         train=True)
         return new_state, losses["recon_c"]
 
     print("compiling (remote; minutes through the tunnel)...", flush=True)
-    state, l0 = step(state, jax.random.PRNGKey(1))
+    state, l0 = step(state, jax.random.PRNGKey(1), batch)
     print("warmup loss:", float(l0), flush=True)
 
     with jax.profiler.trace(args.out):
         acc = 0.0
         for t in range(args.iters):
-            state, l = step(state, jax.random.PRNGKey(2 + t))
+            state, l = step(state, jax.random.PRNGKey(2 + t), batch)
             acc += float(l)
     print(f"traced {args.iters} steps; acc {acc}", flush=True)
 
