@@ -85,6 +85,11 @@ def build_parser():
                                 "fixed-point (compact ingress is on by "
                                 "default for the CLI: 2x less tunnel "
                                 "traffic, metrics move < 0.001 dB)")
+            p.add_argument("--rgb-heuristics", action="store_true",
+                           help="with --variant rgb, run the generalized "
+                                "heuristic post-processor instead of the "
+                                "reference's simple face-mask composite "
+                                "(train_RGB_test.py:403-505)")
         if name == "sfw-video":
             p.add_argument("--export-bbox", default=None)
 
@@ -215,7 +220,9 @@ def main(argv=None):
         InTheWildEvaluator(cfg, variables).run(ds)
     elif args.cmd == "ucb":
         ds = Dataset(cfg, "test", seed=args.seed)
-        results = UCBEvaluator(cfg, variables).run(ds, args.part_masks)
+        results = UCBEvaluator(cfg, variables).run(
+            ds, args.part_masks,
+            rgb_heuristics=getattr(args, "rgb_heuristics", False))
         ps = [r["psnr"] for r in results]
         ss = [r["ssim"] for r in results]
         print(f"UCB mean PSNR {np.mean(ps):.3f}  mean SSIM {np.mean(ss):.4f}")

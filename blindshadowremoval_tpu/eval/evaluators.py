@@ -303,6 +303,34 @@ class UCBEvaluator(Evaluator):
         return {"ssim": float(ssim), "psnr": float(psnr),
                 "pred": pred, "detected": detected}
 
+    def run_one_simple(self, batch: dict, box: np.ndarray, name: str,
+                       parts: dict):
+        """The RGB-ablation eval protocol (train_RGB_test.py:403-505).
+
+        The reference's RGB variant has no shadow-map head and runs NO
+        heuristic detection: the prediction is composited through the
+        ROUNDED face(+hair) part mask directly (train_RGB_test.py:459,468)
+        and clipped after compositing (:475), then scored PSNR/SSIM against
+        the box-resized gt.  `run` routes variant="rgb" here by default;
+        pass rgb_heuristics=True there for the generalized heuristic path
+        (a framework extension, not reference behavior)."""
+        s = self.config.img_size
+        size = int(min(box[3] - box[1], s))
+        _, rgb, _, _, _ = self.forward(batch, frame=4)
+
+        gt_sc = _pad_to(_resize_np(batch["gt"][0], size), s)
+        tmp = _pad_to(_resize_np(batch["img"][0], size), s)
+        # unlike the GSC path, the prediction is NOT pre-clipped before the
+        # resize (train_RGB_test.py:431 resizes the raw generator output)
+        pred = _pad_to(_resize_np(rgb[0], size), s)
+        mask = _pad_to(np.round(_resize_np(parts["face_hair"], size)), s)
+        out = np.clip(pred * mask + tmp * (1.0 - mask), 0.0, 1.0)
+
+        ssim, psnr = self.metrics(gt_sc, out)
+        figs = [tmp[None], out[None], gt_sc[None]]
+        self.logger.save_result_image(figs, name)
+        return {"ssim": ssim, "psnr": psnr, "pred": out, "detected": mask}
+
     def run_one(self, batch: dict, box: np.ndarray, name: str, parts: dict,
                 params: PostprocessParams = PostprocessParams()):
         s = self.config.img_size
@@ -333,13 +361,21 @@ class UCBEvaluator(Evaluator):
 
     def run(self, dataset, part_mask_root: str,
             params: PostprocessParams = PostprocessParams(),
-            fused: Optional[bool] = None, key_masks_by_name: bool = False):
+            fused: Optional[bool] = None, key_masks_by_name: bool = False,
+            rgb_heuristics: bool = False):
         """fused=None auto-selects the single-device-call path (run_one_fused,
         verified identical in tests/test_fused_eval.py) for both geometry
         modes.  key_masks_by_name=True pairs part masks by filename instead
-        of the reference-faithful positional pairing."""
-        use_fused = True if fused is None else fused
-        runner = self.run_one_fused if use_fused else self.run_one
+        of the reference-faithful positional pairing.  variant="rgb" runs
+        the reference's simple face-mask composite protocol (run_one_simple)
+        unless rgb_heuristics=True opts into the generalized heuristic
+        pipeline (which feeds it a grayscale-difference shadow map)."""
+        if self.config.variant == "rgb" and not rgb_heuristics:
+            def runner(batch, box, name, parts, params):
+                return self.run_one_simple(batch, box, name, parts)
+        else:
+            use_fused = True if fused is None else fused
+            runner = self.run_one_fused if use_fused else self.run_one
 
         def items():
             for step, (batch, box, name) in enumerate(dataset):

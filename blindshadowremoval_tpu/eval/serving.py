@@ -58,11 +58,30 @@ class ShadowRemovalService:
     # below the bf16 compute noise.  Like compact_output this is a wire
     # contract change, so the library default stays f32; the CLI enables it.
     compact_ingress: bool = False
+    # shard request batches across a device mesh: batches split over the
+    # mesh's "data" axis (params replicated), so one service instance
+    # drives a whole slice — XLA partitions the forward with no collectives
+    # on this model (pure data parallel).  batch_size must be a multiple of
+    # the mesh size.  None = single-device jit.
+    mesh: Any = None
 
     def __post_init__(self):
         cfg = self.config
         self.gen = build_generator(cfg)
         s = cfg.img_size
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            n = self.mesh.size
+            if self.batch_size % n:
+                raise ValueError(
+                    f"batch_size {self.batch_size} not divisible by the "
+                    f"{n}-device mesh")
+            self._shard = NamedSharding(self.mesh, PartitionSpec("data"))
+            self.variables = jax.device_put(
+                self.variables, NamedSharding(self.mesh, PartitionSpec()))
+        else:
+            self._shard = None
         # snapshot the flags: _fwd is compiled against them here, so the
         # call paths below must read the same values even if a caller
         # mutates the public fields after construction
@@ -113,12 +132,12 @@ class ShadowRemovalService:
             self._fwd = jax.jit(fwd)
             b = self.batch_size
             self._fwd(self.variables,
-                      jnp.zeros((b, s, s, 3), in_dtype),
-                      jnp.zeros((b, 68, 2), jnp.float32),
-                      jnp.zeros((b, 85, 2), jnp.float32),
-                      jnp.full((b, _MAX_TRIANGLES, 3), -1, jnp.int32),
-                      jnp.full((b, _MAX_TRIANGLES, 3), -1, jnp.int32),
-                      jnp.full((b, _MAX_TRIANGLES, 3), -1, jnp.int32))
+                      self._put(np.zeros((b, s, s, 3), in_dtype)),
+                      self._put(np.zeros((b, 68, 2), np.float32)),
+                      self._put(np.zeros((b, 85, 2), np.float32)),
+                      self._put(np.full((b, _MAX_TRIANGLES, 3), -1, np.int32)),
+                      self._put(np.full((b, _MAX_TRIANGLES, 3), -1, np.int32)),
+                      self._put(np.full((b, _MAX_TRIANGLES, 3), -1, np.int32)))
         else:
             def fwd(variables, img, uv, reg):
                 # face gating happens on host in this path (face map is a
@@ -126,9 +145,17 @@ class ShadowRemovalService:
                 return finish(apply_gen(variables, img, uv, reg), None)
 
             self._fwd = jax.jit(fwd)
-            z = jnp.zeros((self.batch_size, s, s, 3), in_dtype)
-            zr = jnp.zeros((self.batch_size, s, s, 6), jnp.float32)
+            z = self._put(np.zeros((self.batch_size, s, s, 3), in_dtype))
+            zr = self._put(np.zeros((self.batch_size, s, s, 6), np.float32))
             self._fwd(self.variables, z, z, zr)
+
+    def _put(self, arr: np.ndarray):
+        """Warm-path upload: sharded over the mesh's data axis when serving
+        multi-device (so warmup compiles the same partitioned executable
+        the request path runs), plain transfer otherwise."""
+        if self._shard is not None:
+            return jax.device_put(arr, self._shard)
+        return jnp.asarray(arr)
 
     # ----------------------------------------------------------- pipeline
     def preprocess(self, image: np.ndarray, landmarks: np.ndarray) -> dict:
@@ -174,6 +201,8 @@ class ShadowRemovalService:
                 if n < bs:   # pad the tail batch to the warm shape
                     pad = np.full((bs - n,) + arr.shape[1:], fill, arr.dtype)
                     arr = np.concatenate([arr, pad])
+                if self._shard is not None:
+                    return jax.device_put(arr, self._shard)
                 return jnp.asarray(arr)
 
             if self._devgeo:

@@ -37,7 +37,9 @@ def test_two_process_train_step():
     outs = []
     for p in procs:
         try:
-            out, err = p.communicate(timeout=900)
+            # 448s solo on the 1-core CI box; headroom for a loaded machine
+            # (two jax processes compile the train step concurrently)
+            out, err = p.communicate(timeout=2400)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()

@@ -86,3 +86,38 @@ def test_batch_sharding_spec():
     mesh = make_mesh((4, 2), ("data", "frame"))
     sh = batch_sharding(mesh, frame_axis=True)
     assert sh.spec == P(("data", "frame"))
+
+
+def test_serving_over_mesh_matches_single_device(tmp_path):
+    """ShadowRemovalService(mesh=...): request batches shard over the
+    8-device 'data' axis; outputs must match the single-device service."""
+    from blindshadowremoval_tpu.config import get_config
+    from blindshadowremoval_tpu.eval.serving import ShadowRemovalService
+
+    s = 64
+    cfg = get_config("in_the_wild", img_size=s, compute_dtype="float32",
+                     checkpoint_dir=str(tmp_path))
+    # synthetic request: landmarks spread over a central box (non-degenerate
+    # for qhull), as in tests/test_serving.py
+    nprng = np.random.default_rng(0)
+    img = nprng.uniform(size=(400, 400, 3)).astype(np.float32)
+    lm = nprng.uniform(120, 280, size=(68, 2)).astype(np.float32)
+
+    from blindshadowremoval_tpu.train.trainer import build_generator
+
+    gen = build_generator(cfg)
+    z = np.zeros((1, s, s, 3), np.float32)
+    variables = gen.init(jax.random.PRNGKey(0), z, z,
+                         np.zeros((1, s, s, 6), np.float32))
+    svc0 = ShadowRemovalService(cfg, variables, batch_size=8)
+
+    mesh = make_mesh((8,), ("data",))
+    svc1 = ShadowRemovalService(cfg, variables, batch_size=8, mesh=mesh)
+
+    # 5 requests: a sharded full batch + padded tail on both services
+    ref = svc0.remove_shadows([img] * 5, [lm] * 5)
+    with mesh:
+        out = svc1.remove_shadows([img] * 5, [lm] * 5)
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(o["pred"], r["pred"], atol=2e-5)
+        np.testing.assert_allclose(o["mask_pred"], r["mask_pred"], atol=2e-5)

@@ -148,6 +148,96 @@ def test_sfw_auc_parity(golden, tmp_path_factory):
 
 
 @needs_ref
+def test_rgb_ucb_simple_composite_parity(tmp_path_factory):
+    """The RGB ablation's UCB eval (train_RGB_test.py:357-505): there is no
+    shadow-map head and NO heuristic detection — the raw prediction resizes
+    into the crop box and composites through the ROUNDED face(+hair) part
+    mask, clipped after compositing.  Fixture: e2e_rgb.npz
+    (tools/make_tf_ref_e2e_goldens.py --rgb), the reference's own
+    train_RGB_test.FSRNet.test_step under synthetic ckpt-130 weights."""
+    from blindshadowremoval_tpu.models.generator_rgb import RGBGenerator
+
+    golden = np.load(os.path.join(os.path.dirname(__file__), "goldens",
+                                  "tf_ref", "e2e_rgb.npz"))
+    gen = RGBGenerator()
+    z3 = np.zeros((1, 64, 64, 3), np.float32)
+    variables = gen.init(jax.random.PRNGKey(0), z3, z3,
+                         np.zeros((1, 64, 64, 6), np.float32))
+    mapping = generator_mapping("rgb")
+    weights = synthetic_tf_weights(variables, mapping, seed=0)
+    variables = load_weights_dict(weights, variables, mapping)
+
+    cfg = get_config(
+        "ucb", variant="rgb",
+        data_dirs_test=(os.path.join(REF, "UCB", "train", "input", "*"),),
+        eval_views=1, compute_dtype="float32", part_mask_root=REF,
+        checkpoint_dir=str(tmp_path_factory.mktemp("rgbucb")))
+    ds = Dataset(cfg, "test")
+    ev = UCBEvaluator(cfg, variables)
+
+    it = iter(ds)
+    for i in range(len(golden["rgb_names"])):
+        batch, box, name = next(it)
+        assert os.path.basename(name) == str(golden["rgb_names"][i])
+        parts = ev._load_part_masks(REF, i)
+        # reference box quirk: see test_ucb_heuristic_pipeline_parity
+        r = ev.run_one_simple(batch, golden[f"rgb{i}_box"], f"rgb{i}", parts)
+        psnr_comp = _psnr(r["pred"], golden[f"rgb{i}_composite"])
+        d_psnr = abs(r["psnr"] - float(golden[f"rgb{i}_psnr"]))
+        d_ssim = abs(r["ssim"] - float(golden[f"rgb{i}_ssim"]))
+        print(f"rgb{i}: composite {psnr_comp:.2f} dB, dPSNR {d_psnr:.3f}, "
+              f"dSSIM {d_ssim:.4f}")
+        assert psnr_comp >= 45.0, f"rgb{i} composite {psnr_comp:.2f} dB"
+        assert d_psnr <= 0.1, f"rgb{i} PSNR delta {d_psnr:.3f}"
+        assert d_ssim <= 0.01, f"rgb{i} SSIM delta {d_ssim:.4f}"
+
+
+@needs_ref
+def test_sfw_video_parity(bridged_variables, tmp_path_factory):
+    """testsfw_video (train_test_GSC.py:772-796, step :893-932): 10-frame
+    temporally-spread forward on the 17-frame synthetic video fixture, plus
+    the bbox .mat export (train_with_TSM.py:663).  Fixture: e2e_video.npz
+    (tools/make_tf_ref_e2e_goldens.py --video) — the reference's own video
+    parser + test_step_sfw_video under the shared synthetic weights."""
+    import scipy.io
+
+    from blindshadowremoval_tpu.eval.evaluators import SFWVideoEvaluator
+
+    golden = np.load(os.path.join(os.path.dirname(__file__), "goldens",
+                                  "tf_ref", "e2e_video.npz"))
+    vid_dir = os.path.join(os.path.dirname(__file__), "goldens", "tf_ref",
+                           "sfw_video_synth")
+    cfg = get_config(
+        "sfw_video", variant="gsc",
+        data_dirs_test=(os.path.join(vid_dir, "*"),),
+        compute_dtype="float32",
+        checkpoint_dir=str(tmp_path_factory.mktemp("vid")))
+    ds = Dataset(cfg, "test", dset="sfw")
+    batch, box, name = next(iter(ds))
+    assert os.path.basename(os.path.dirname(name)) == str(golden["vid_name"])
+    np.testing.assert_allclose(box, golden["vid_box"])
+
+    bbox_dir = str(tmp_path_factory.mktemp("bbox"))
+    ev = SFWVideoEvaluator(cfg, bridged_variables)
+    r = ev.run_one(batch, box, name, export_bbox_dir=bbox_dir)
+
+    psnr_pred = _psnr(np.clip(r["pred"], 0, 1), golden["vid_pred"])
+    psnr_mask = _psnr(r["mask_pred"] * 2.0, golden["vid_mask_pred2"])
+    print(f"sfw-video: pred {psnr_pred:.2f} dB, mask {psnr_mask:.2f} dB "
+          f"over {r['pred'].shape[0]} frames")
+    assert psnr_pred >= 45.0, f"video pred parity {psnr_pred:.2f} dB"
+    # shadow maps ride the same face-rasterizer boundary caveat as the
+    # in-the-wild test; the whole-frame number stays a coarse gate
+    assert psnr_mask >= 28.0, f"video mask parity {psnr_mask:.2f} dB"
+
+    parts = name.replace("\\", "/").split("/")
+    mat = scipy.io.loadmat(
+        os.path.join(bbox_dir, f"{parts[-2]}_{parts[-1]}.mat"))
+    np.testing.assert_allclose(np.asarray(mat["bbox"]).reshape(4),
+                               golden["vid_box"])
+
+
+@needs_ref
 def test_ucb_heuristic_pipeline_parity(bridged_variables, golden,
                                        tmp_path_factory):
     cfg = get_config(

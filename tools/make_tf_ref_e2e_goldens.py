@@ -292,6 +292,125 @@ def make_sfw_golden(out):
           f"psnr={float(losses['psnr']):.2f} ssim={float(losses['ssim']):.4f}")
 
 
+def make_sfw_video_synth_data():
+    """17-frame synthetic video fixture for the sfw-video eval path.
+
+    The video frame schedule for anchor 0 spans frames 0..16
+    (dataset.py:808-819), so 17 frames make exactly one valid anchor.
+    Frames are the real 02165 face under a deterministic per-frame
+    brightness ramp (so cross-frame outputs genuinely differ), all sharing
+    the same landmarks.  Checked into tests/goldens/tf_ref/ so the
+    Flax-side test consumes the identical files."""
+    import cv2
+
+    out_dir = os.path.join(OUT_DIR, "sfw_video_synth", "vid0")
+    os.makedirs(out_dir, exist_ok=True)
+    src = os.path.join(REF, "sample_imgs", "02165")
+    img = cv2.imread(os.path.join(src, "02165.png"))
+    lm = np.load(os.path.join(src, "02165.npy"))
+    for fr in range(17):
+        frame = np.clip(img.astype(np.float32) * (1.0 - 0.02 * fr),
+                        0, 255).astype(np.uint8)
+        cv2.imwrite(os.path.join(out_dir, f"{fr}.png"), frame)
+        np.save(os.path.join(out_dir, f"{fr}.npy"), lm)
+    link = os.path.join(WORKDIR, "SFW_video_synth")
+    if not os.path.islink(link):
+        os.symlink(os.path.dirname(out_dir), link)
+
+
+def make_sfw_video_golden(tgs, refds, fsr, out):
+    """Reference testsfw_video (train_test_GSC.py:772-796, step :893-932):
+    10-frame forward, clip, face-gated shadow maps, crop box (the payload
+    of the .mat bbox export, train_with_TSM.py:663).  dset='sfw' maps
+    parse_fn_test_sfw_video in the shipped source (dataset.py:67)."""
+    config = tgs.Config(0)
+    config.DATA_DIR_TEST = ["SFW_video_synth/*"]
+    ds = refds.Dataset(config, "test", dset="sfw")
+    img, box, _ = next(iter(ds.feed))
+    _, figs = fsr.test_step_sfw_video(img, box, training=False)
+    out["vid_name"] = np.asarray(os.path.basename(
+        os.path.dirname(ds.name_list[0])))
+    out["vid_box"] = np.asarray(box).reshape(4).astype(np.float32)
+    out["vid_input"] = np.asarray(figs[0]).astype(np.float16)
+    out["vid_pred"] = np.asarray(figs[1]).astype(np.float16)
+    out["vid_mask_pred2"] = np.asarray(figs[2]).astype(np.float16)
+    print("sfw-video golden:", out["vid_pred"].shape,
+          float(out["vid_pred"].min()), float(out["vid_pred"].max()))
+
+
+def make_rgb_ucb_golden(out):
+    """Reference RGB-ablation UCB eval (train_RGB_test.py:357-505).
+
+    The RGB variant's `test()` protocol differs from GSC's: no shadow-map
+    head and NO heuristic post-processing — the raw generator output is
+    resized into the crop box, composited through the ROUNDED resized
+    face(+hair) part mask (train_RGB_test.py:459,468), clipped, and scored
+    PSNR/SSIM against the box-resized gt.  Synthetic ckpt-130-contract
+    weights; no bias lift is needed (there is no `dif > 0.1` branch to
+    exercise)."""
+    import cv2
+    import model_RGB as ref_rgb
+
+    patch_sharelayer(ref_rgb)
+    import dataset as refds
+    import train_RGB_test as trt
+
+    from blindshadowremoval_tpu.models.generator_rgb import RGBGenerator
+    from blindshadowremoval_tpu.models.tf_checkpoint import (
+        generator_mapping, synthetic_tf_weights)
+
+    config = trt.Config(0)
+    config.CHECKPOINT_DIR = os.path.join(WORKDIR, "ckpt_unused_rgb")
+    config.DATA_DIR_TEST = ["UCB/train/input/*"]
+    fsr = trt.FSRNet(config)
+    z = tf.zeros((1, 256, 256, 3))
+    fsr.gen(z, z, tf.zeros((1, 256, 256, 6)), 1, False)
+
+    variables = RGBGenerator().init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, 64, 64, 3), np.float32),
+        np.zeros((1, 64, 64, 3), np.float32),
+        np.zeros((1, 64, 64, 6), np.float32))
+    weights = synthetic_tf_weights(variables, generator_mapping("rgb"),
+                                   seed=SEED)
+    n = assign_weights(fsr.gen, "generator", weights)
+    print(f"rgb fsrnet: assigned {n} generator variables")
+
+    # the README's UCB procedure flips the dataset map line (see
+    # make_ucb_goldens); idempotent if the GSC golden already ran
+    refds.Dataset.parse_fn_test_FFHQ = refds.Dataset.parse_fn_test
+    ds = refds.Dataset(config, "test")
+    masks = sorted(os.listdir(
+        "UCB_input_images_face_masks_cropped_and_padded_with_hair/"))
+    feed = iter(ds.feed)
+    names = []
+    for count in range(N_UCB):
+        img, box, _ = next(feed)
+        part = []
+        for d in ("UCB_input_images_face_masks_cropped_and_padded_with_hair",
+                  "UCB_input_images_face_masks_cropped_and_padded",
+                  "UCB_input_images_mouth_masks_cropped_and_padded",
+                  "UCB_input_images_nose_masks_cropped_and_padded",
+                  "UCB_input_images_eyebrow_masks_cropped_and_padded",
+                  "UCB_input_images_eye_masks_cropped_and_padded",
+                  "UCB_input_images_glasses_masks_cropped_and_padded"):
+            part.append(tf.convert_to_tensor(
+                cv2.imread(d + "/" + masks[count]) / 255.0))
+        losses, figs = fsr.test_step(img, box, *part, training=False)
+        name = ds.name_list[count]
+        names.append(name)
+        out[f"rgb{count}_box"] = np.asarray(box).reshape(4).astype(np.float32)
+        out[f"rgb{count}_input"] = np.asarray(figs[0])[0].astype(np.float16)
+        out[f"rgb{count}_composite"] = np.asarray(figs[1])[0].astype(
+            np.float16)
+        out[f"rgb{count}_psnr"] = np.float32(losses["psnr"])
+        out[f"rgb{count}_ssim"] = np.float32(losses["ssim"])
+        print(f"rgb golden {count}: {name} psnr={float(losses['psnr']):.2f} "
+              f"ssim={float(losses['ssim']):.4f}")
+    out["rgb_names"] = np.asarray([os.path.basename(n) for n in names])
+    out["rgb_mask_files"] = np.asarray(masks[:N_UCB])
+
+
 def main():
     import random
 
@@ -308,6 +427,34 @@ def main():
     np.random.seed(0)
 
     sys.path.insert(0, REF)
+
+    if "--rgb" in sys.argv:
+        # the RGB fixture lives in its own npz so regenerating it never
+        # touches the existing e2e_eval.npz bytes
+        out = {}
+        make_rgb_ucb_golden(out)
+        np.savez_compressed(os.path.join(OUT_DIR, "e2e_rgb.npz"), **out)
+        print("wrote e2e_rgb.npz:", sorted(out))
+        return
+
+    if "--video" in sys.argv:
+        # separate fixture file for the same reason as --rgb
+        import model as ref_model
+
+        patch_sharelayer(ref_model)
+        import dataset as refds
+        import train_test_GSC as tgs
+
+        config = tgs.Config(0)
+        config.CHECKPOINT_DIR = os.path.join(WORKDIR, "ckpt_unused")
+        fsr = build_fsrnet(tgs, config)
+        out = {}
+        make_sfw_video_synth_data()
+        make_sfw_video_golden(tgs, refds, fsr, out)
+        np.savez_compressed(os.path.join(OUT_DIR, "e2e_video.npz"), **out)
+        print("wrote e2e_video.npz:", sorted(out))
+        return
+
     import model as ref_model
 
     patch_sharelayer(ref_model)
