@@ -70,13 +70,15 @@ def build_parser():
                      "gsc/rgb only)")
         if name in ("infer", "ucb"):
             p.add_argument(
-                "--eval-views", type=int, default=10,
+                "--eval-views", type=int, default=None,
                 help="views per sample: anchor + N-1 random same-folder refs "
-                     "(reference protocol: 10). Refs only influence the tsm "
-                     "variant; --eval-views 1 evaluates gsc/rgb ~3x faster "
+                     "(reference protocol and default: 10). "
+                     "--eval-views 1 evaluates gsc/rgb ~3x faster "
                      "with statistically equivalent metrics (bf16 batching "
                      "can flip individual postprocess thresholds: measured "
-                     "19.15 dB/0.720 vs 19.13 dB/0.730 on UCB-100)")
+                     "19.15 dB/0.720 vs 19.13 dB/0.730 on UCB-100); does "
+                     "not apply to the tsm ucb protocol (fixed "
+                     "anchor+mirror pair)")
         if name == "ucb":
             p.add_argument("--part-masks", required=True,
                            help="root containing the UCB_input_images_* dirs")
@@ -179,19 +181,17 @@ def main(argv=None):
             overrides["compact_ingress"] = True
     cfg = get_config(preset, **overrides)
 
-    # the TSM ShareLayer reshapes [V,...] into [V/frame, frame, ...] with
-    # frame=4 for ucb (UCBEvaluator); a non-multiple --eval-views would die
-    # deep in the model with an opaque reshape error, so validate here.
-    # (infer/sfw run frame=1 and sfw-video packs fixed 10-frame batches —
-    # any eval_views works there.)
-    if cfg.variant == "tsm" and args.cmd == "ucb":
-        frame = 4
-        if cfg.eval_views % frame:
-            print(f"--eval-views {cfg.eval_views} invalid for --variant tsm: "
-                  f"the ShareLayer groups views by frame={frame}, so "
-                  f"eval-views must be a multiple of {frame}",
-                  file=sys.stderr)
-            return 2
+    # the TSM UCB protocol forwards a fixed anchor+mirror pair with frame=1
+    # (train_with_TSM.py:431-433; Dataset.parse_test_ucb_mirror), so
+    # --eval-views does not apply there — reject it rather than silently
+    # ignoring it.  (infer/sfw run frame=1 and sfw-video packs fixed
+    # 10-frame batches — any eval_views works there.)
+    if cfg.variant == "tsm" and args.cmd == "ucb" and \
+            getattr(args, "eval_views", None):
+        print("--eval-views does not apply to --variant tsm ucb eval: the "
+              "TSM protocol always forwards the anchor + mirrored pair "
+              "(train_with_TSM.py:431-433)", file=sys.stderr)
+        return 2
 
     from blindshadowremoval_tpu.data.dataset import Dataset
 

@@ -303,6 +303,26 @@ class Dataset:
         return self._parse_test_multiview(
             lm_path, _imread_rgb(self._ucb_gt_path(lm_path)))
 
+    def parse_test_ucb_mirror(self, lm_path: str) -> tuple[dict, np.ndarray]:
+        """The TSM variant's UCB eval sample: anchor + mirrored twin with
+        mirrored geometry, gt riding the flip (dataset_with_TSM.py:153-190,
+        which flips the img∥gt stack together at :176).  Selected for
+        variant="tsm" in _test_iter; the TSM test_step forwards these 2
+        views with frame=1 (train_with_TSM.py:431-433)."""
+        cfg = self.config
+        s = cfg.img_size
+        gt = _imread_rgb(self._ucb_gt_path(lm_path))
+        v, box, lm_mirror = self._test_view(lm_path, gt)
+        if getattr(cfg, "device_geometry", False):
+            gm = _geometry_primitives(lm_mirror)
+        else:
+            gm = _geometry(lm_mirror, s)
+        view_m = {"img": v["img"][:, ::-1], "gt": v["gt"][:, ::-1], **gm}
+        batch = {k: np.stack([v[k], view_m[k]]).astype(
+                     np.int32 if k.endswith("_tris") else np.float32)
+                 for k in v}
+        return batch, np.asarray(box, np.float32)
+
     @staticmethod
     def _ucb_gt_path(lm_path: str) -> str:
         """`<root>/input/<id>/<img>` -> `<root>/gt/<id>/<img>.png`
@@ -428,6 +448,9 @@ class Dataset:
             elif self.dset == "sfw":
                 yield (*self.parse_test_sfw(name), name)
             elif self.config.mode == "ucb":
-                yield (*self.parse_test_ucb(name), name)
+                if self.config.variant == "tsm":
+                    yield (*self.parse_test_ucb_mirror(name), name)
+                else:
+                    yield (*self.parse_test_ucb(name), name)
             else:
                 yield (*self.parse_test_ffhq(name), name)

@@ -30,6 +30,7 @@ import numpy as np
 from blindshadowremoval_tpu.config import Config
 from blindshadowremoval_tpu.data.dataset import prefetch
 from blindshadowremoval_tpu.eval.postprocess import (
+    TSM_PARAMS,
     PostprocessParams,
     composite,
     ucb_postprocess,
@@ -331,6 +332,44 @@ class UCBEvaluator(Evaluator):
         self.logger.save_result_image(figs, name)
         return {"ssim": ssim, "psnr": psnr, "pred": out, "detected": mask}
 
+    def run_one_tsm(self, batch: dict, box: np.ndarray, name: str,
+                    parts: dict,
+                    params: PostprocessParams = TSM_PARAMS):
+        """The TSM variant's UCB protocol (train_with_TSM.py:369-617).
+
+        Differs from the GSC path in structure, not just constants: the
+        batch is anchor + mirror (2 views) forwarded with frame=1 (:431-433),
+        everything runs at full 256x256 — the part masks are NOT resized
+        into the crop box (:455-469 commented out) and the shadow map is
+        gated by the unresized face(+hair) mask (:494) — the detection
+        threshold is flat (all adaptive blocks commented out, :499-517),
+        components keep >=0.6x the largest (:537), the nose veto uses its
+        own fraction bands (:561), and the composite happens at full
+        resolution BEFORE the resize-into-box + pad (:583-593)."""
+        s = self.config.img_size
+        size = int(min(box[3] - box[1], s))
+        _, rgb, _, mask_pred, _ = self.forward(batch, frame=1)
+
+        gt_sc = _pad_to(_resize_np(batch["gt"][0], size), s)
+        tmp = batch["img"][0]
+        mp = mask_pred[0]
+        mp = np.repeat(mp, 3, axis=2) if mp.shape[2] == 1 else mp
+
+        detected, mp_gated = ucb_postprocess(
+            mp, tmp, parts["face_hair"], parts["face_no_hair"],
+            parts["mouth"], parts["nose"], parts["eyebrow"], parts["eye"],
+            parts["glasses"], params)
+        # composite with the RAW prediction at 256², clip, THEN resize into
+        # the crop box and pad (train_with_TSM.py:583,592-593)
+        out = np.clip(rgb[0] * detected + tmp * (1.0 - detected), 0.0, 1.0)
+        out = _pad_to(_resize_np(out, size), s)
+
+        ssim, psnr = self.metrics(gt_sc, out)
+        figs = [tmp[None], out[None], mp_gated[None] * 2, gt_sc[None],
+                detected[None]]
+        self.logger.save_result_image(figs, name)
+        return {"ssim": ssim, "psnr": psnr, "pred": out, "detected": detected}
+
     def run_one(self, batch: dict, box: np.ndarray, name: str, parts: dict,
                 params: PostprocessParams = PostprocessParams()):
         s = self.config.img_size
@@ -360,19 +399,27 @@ class UCBEvaluator(Evaluator):
         return {"ssim": ssim, "psnr": psnr, "pred": out, "detected": detected}
 
     def run(self, dataset, part_mask_root: str,
-            params: PostprocessParams = PostprocessParams(),
+            params: Optional[PostprocessParams] = None,
             fused: Optional[bool] = None, key_masks_by_name: bool = False,
             rgb_heuristics: bool = False):
         """fused=None auto-selects the single-device-call path (run_one_fused,
         verified identical in tests/test_fused_eval.py) for both geometry
         modes.  key_masks_by_name=True pairs part masks by filename instead
-        of the reference-faithful positional pairing.  variant="rgb" runs
-        the reference's simple face-mask composite protocol (run_one_simple)
-        unless rgb_heuristics=True opts into the generalized heuristic
-        pipeline (which feeds it a grayscale-difference shadow map)."""
+        of the reference-faithful positional pairing.  Variant routing:
+        "rgb" runs the reference's simple face-mask composite protocol
+        (run_one_simple) unless rgb_heuristics=True opts into the
+        generalized heuristic pipeline (which feeds it a
+        grayscale-difference shadow map); "tsm" runs the TSM protocol
+        (run_one_tsm: full-res heuristics with TSM_PARAMS, frame=1).
+        params=None selects the variant's reference constants."""
+        if params is None:
+            params = (TSM_PARAMS if self.config.variant == "tsm"
+                      else PostprocessParams())
         if self.config.variant == "rgb" and not rgb_heuristics:
             def runner(batch, box, name, parts, params):
                 return self.run_one_simple(batch, box, name, parts)
+        elif self.config.variant == "tsm":
+            runner = self.run_one_tsm
         else:
             use_fused = True if fused is None else fused
             runner = self.run_one_fused if use_fused else self.run_one

@@ -38,6 +38,11 @@ from blindshadowremoval_tpu.ops.components import (
 class PostprocessParams:
     """All eval heuristics constants (citations: train_test_GSC.py)."""
 
+    # protocol switches: the TSM variant's test_step drops whole stages —
+    # no mustache/mouth suppression and a FLAT detection threshold (every
+    # adaptive-threshold block is commented out, train_with_TSM.py:499-517)
+    mustache_mouth_suppression: bool = True
+    adaptive_thresholds: bool = True
     base_threshold: float = 0.01          # :519
     mustache_prob: float = 0.018          # :493
     mouth_prob: float = 0.02              # :497
@@ -62,7 +67,17 @@ class PostprocessParams:
     nose_veto_halfwidth: int = 35         # :661,663
 
 
-TSM_PARAMS = PostprocessParams(min_frac_of_max=0.6)
+# The TSM test_step's constants and stage set (train_with_TSM.py:420-617):
+# flat 0.01 threshold (adaptive blocks all commented out, :499-517), no
+# mustache/mouth suppression, components kept at >=0.6x the largest (:537),
+# and different nose-veto fraction bands (:561).
+TSM_PARAMS = PostprocessParams(
+    mustache_mouth_suppression=False,
+    adaptive_thresholds=False,
+    min_frac_of_max=0.6,
+    nose_frac_bands=((0.423, 0.425), (0.53, 0.56),
+                     (0.35, 0.38), (0.58, 0.605)),
+)
 
 
 def _bbox(mask01: np.ndarray):
@@ -94,7 +109,7 @@ def ucb_postprocess(
     # --- mustache / mouth suppression (:480-497) ----------------------
     nose_box = _bbox(nose[..., 0])
     mouth_box = _bbox(mouth[..., 0])
-    if nose_box and mouth_box:
+    if p.mustache_mouth_suppression and nose_box and mouth_box:
         mid_nose_h = (nose_box[0] + nose_box[1]) / 2.0
         mustache = np.zeros_like(mask_pred)
         mustache[int(mid_nose_h):int(mouth_box[0]),
@@ -109,6 +124,11 @@ def ucb_postprocess(
 
     # --- spatially varying threshold (:518-539) -----------------------
     threshold = np.full((s, s, 3), p.base_threshold)
+    if not p.adaptive_thresholds:
+        # TSM protocol: flat base threshold only (train_with_TSM.py:495-517)
+        detected = (mask_pred > threshold).astype(np.float32)
+        return _components_and_nose(detected, mask_pred, input_img,
+                                    hair_region, nose, nose_box, p)
     threshold[hair_region > 0] = p.hair_threshold
     threshold[(hair_region > 0)
               & (intensity < p.dark_hair_intensity)] = p.dark_hair_threshold
@@ -151,7 +171,13 @@ def ucb_postprocess(
             threshold[(gate > 0) & (intensity > 0.1)] = 1.0
 
     detected = (mask_pred > threshold).astype(np.float32)
+    return _components_and_nose(detected, mask_pred, input_img, hair_region,
+                                nose, nose_box, p)
 
+
+def _components_and_nose(detected, mask_pred, input_img, hair_region, nose,
+                         nose_box, p: PostprocessParams):
+    """Shared pipeline tail: connected components + nose veto."""
     # --- connected components (device kernel) (:585-611) --------------
     labels = label_components(jnp.asarray(detected[..., 0]))
     # np.array (not asarray): device arrays view as read-only, and the nose

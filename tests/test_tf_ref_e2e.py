@@ -238,6 +238,70 @@ def test_sfw_video_parity(bridged_variables, tmp_path_factory):
 
 
 @needs_ref
+def test_tsm_ucb_protocol_parity(tmp_path_factory):
+    """The TSM variant's UCB eval (train_with_TSM.py:369-617): anchor +
+    mirrored pair forwarded with frame=1, heuristics at full 256² with a
+    FLAT 0.01 threshold (adaptive blocks all commented out :499-517),
+    components kept >= 0.6x the largest (:537), TSM nose-veto bands (:561),
+    composite before the box resize (:583-593).  Fixture: e2e_tsm_ucb.npz
+    (tools/make_tf_ref_e2e_goldens.py --tsm-ucb) — the reference's own
+    dataset_with_TSM parser + train_with_TSM.FSRNet.test_step under the
+    shared synthetic ckpt-110-contract weights.  (The shipped reference
+    CRASHES on this path — its ShareLayer reshape hardcodes batch == frame,
+    model_with_TSM.py:218; the golden runs it with the grouping generalized
+    to [batch//frame, frame, ...], bit-identical where the original ran —
+    see the tool's docstring.)  Golden 2's nose fraction (0.362) lands
+    inside the (0.35, 0.38) veto band, so the TSM nose veto is genuinely
+    exercised."""
+    from blindshadowremoval_tpu.models.generator_tsm import TSMGenerator
+
+    golden = np.load(os.path.join(os.path.dirname(__file__), "goldens",
+                                  "tf_ref", "e2e_tsm_ucb.npz"))
+    gen = TSMGenerator()
+    z3 = np.zeros((2, 64, 64, 3), np.float32)
+    variables = gen.init(jax.random.PRNGKey(0), z3, z3,
+                         np.zeros((2, 64, 64, 6), np.float32), frame=2)
+    weights = synthetic_tf_weights(variables, generator_mapping("tsm"),
+                                   seed=0)
+    weights["generator/clr_conv3/conv/bias"] = (
+        weights["generator/clr_conv3/conv/bias"] + 0.5)
+    variables = load_weights_dict(weights, variables,
+                                  generator_mapping("tsm"))
+
+    cfg = get_config(
+        "ucb", variant="tsm",
+        data_dirs_test=(os.path.join(REF, "UCB", "train", "input", "*"),),
+        compute_dtype="float32", part_mask_root=REF,
+        checkpoint_dir=str(tmp_path_factory.mktemp("tsmucb")))
+    ds = Dataset(cfg, "test")
+    ev = UCBEvaluator(cfg, variables)
+
+    it = iter(ds)
+    for i in range(len(golden["tsm_names"])):
+        batch, box, name = next(it)
+        assert os.path.basename(name) == str(golden["tsm_names"][i])
+        # no random reference views on this path, so the boxes must agree
+        # exactly (unlike the GSC test's last-view box quirk)
+        np.testing.assert_allclose(box, golden[f"tsm{i}_box"])
+        parts = ev._load_part_masks(REF, i)
+        r = ev.run_one_tsm(batch, box, f"tsm{i}", parts)
+
+        ref_detected = np.unpackbits(
+            golden[f"tsm{i}_detected"])[:256 * 256].reshape(256, 256)
+        mine = (r["detected"][..., 0] > 0.5).astype(np.uint8)
+        disagree = float(np.mean(mine != ref_detected))
+        psnr_comp = _psnr(r["pred"], golden[f"tsm{i}_composite"])
+        d_psnr = abs(r["psnr"] - float(golden[f"tsm{i}_psnr"]))
+        d_ssim = abs(r["ssim"] - float(golden[f"tsm{i}_ssim"]))
+        print(f"tsm{i}: detected disagreement {disagree:.4f}, composite "
+              f"{psnr_comp:.2f} dB, dPSNR {d_psnr:.3f}, dSSIM {d_ssim:.4f}")
+        assert disagree <= 0.01, f"tsm{i} detected mask {disagree:.4f}"
+        assert psnr_comp >= 40.0, f"tsm{i} composite {psnr_comp:.2f} dB"
+        assert d_psnr <= 0.1, f"tsm{i} PSNR delta {d_psnr:.3f}"
+        assert d_ssim <= 0.01, f"tsm{i} SSIM delta {d_ssim:.4f}"
+
+
+@needs_ref
 def test_ucb_heuristic_pipeline_parity(bridged_variables, golden,
                                        tmp_path_factory):
     cfg = get_config(

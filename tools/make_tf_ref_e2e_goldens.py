@@ -411,6 +411,149 @@ def make_rgb_ucb_golden(out):
     out["rgb_mask_files"] = np.asarray(masks[:N_UCB])
 
 
+def _patch_sharelayer_batch_general(mod):
+    """Replace model_with_TSM.ShareLayer.call with a batch-general version.
+
+    The shipped call (model_with_TSM.py:204-229) reshapes the warped
+    features to [1, frame, w, h, ch] — it assumes the whole batch is ONE
+    frame group, true for testsfw (batch=2, frame=2) but not for the UCB
+    test_step (batch=2, frame=1), which crashes on the reshape.  Grouping
+    as [batch//frame, frame, ...] reproduces the shipped arithmetic exactly
+    whenever batch == frame and makes the UCB path runnable."""
+    tfbmo = mod.tf_batch_map_offsets
+
+    def call(self, x, reg, frame, share):
+        reg_in, reg_out = tf.split(reg, 2, axis=3)
+        x_reg = tfbmo(x, reg_in)
+        b, w, h, ch = x_reg.shape
+        grouped = tf.reshape(x_reg, [b // frame, frame, w, h, ch])
+        x_share_1 = tf.concat([tf.reduce_max(grouped, axis=1),
+                               tf.reduce_mean(grouped, axis=1)], axis=3)
+        x_share_1 = tf.stack([x_share_1 for _ in range(frame)], axis=1)
+        x_share_1 = tf.reshape(x_share_1, [b, w, h, -1])
+        x_share_1 = tfbmo(x_share_1, reg_out)
+        x_share_2 = tf.concat([x, x], axis=3)
+        return tf.cond(share, lambda: x_share_1, lambda: x_share_2)
+
+    mod.ShareLayer.call = call
+
+
+def make_tsm_ucb_golden(out):
+    """Reference TSM-variant UCB eval (train_with_TSM.py:369-617).
+
+    A structurally different protocol from GSC's test(): the dataset packs
+    anchor + mirrored twin (parse_fn_test, dataset_with_TSM.py:153-190),
+    the forward runs frame=1 (:431-433), the heuristics run at FULL 256²
+    (no resize-into-box of masks or prediction), the detection threshold is
+    flat 0.01 (every adaptive block commented out :499-517), components
+    keep >=0.6x the largest (:537), the nose veto uses its own bands
+    (:561), and the composite happens before the box resize (:583-593).
+
+    Three reference quirks accommodated here:
+      * parse_fn_test builds the gt path from ABSOLUTE path components
+        (`_lm_part[0:7]`, :159) — the author's machine had the UCB tree 5
+        directories deep, so the data is symlinked at
+        WORKDIR/d1/d2/UCB to reproduce that depth;
+      * the shipped test-mode glob lists `*_label.png` (SFW work left in,
+        dataset_with_TSM.py:62) — the UCB `.npy` glob it replaced sits
+        commented out one line above (:61); a subclass restores it;
+      * ShareLayer.call reshapes to a hardcoded [1, frame, ...]
+        (model_with_TSM.py:218) — valid only when batch == frame (the
+        testsfw path), so the shipped UCB test_step (batch=2, frame=1)
+        CRASHES in the reference source; `_patch_sharelayer_batch_general`
+        generalizes the grouping to [batch//frame, frame, ...], which is
+        bit-identical whenever batch == frame (the sfw fixtures are
+        unaffected) and is the semantics the Flax ShareLayer implements.
+    """
+    import cv2
+    import model_with_TSM as ref_tsm_model
+
+    patch_sharelayer(ref_tsm_model)
+    _patch_sharelayer_batch_general(ref_tsm_model)
+    import glob as _pyglob
+
+    import dataset_with_TSM as refds_tsm
+    import train_with_TSM as twt
+
+    from blindshadowremoval_tpu.data.dataset import _natsorted
+    from blindshadowremoval_tpu.models.generator_tsm import TSMGenerator
+    from blindshadowremoval_tpu.models.tf_checkpoint import generator_mapping
+
+    deep = os.path.join(WORKDIR, "d1", "d2")
+    os.makedirs(deep, exist_ok=True)
+    link = os.path.join(deep, "UCB")
+    if not os.path.islink(link):
+        os.symlink(os.path.join(REF, "UCB"), link)
+
+    class UCBTSMDataset(refds_tsm.Dataset):
+        def inputs(self, data_dir):
+            samples = []
+            for _dir in data_dir:
+                for _file in _natsorted(_pyglob.glob(_dir)):
+                    samples += _natsorted(_pyglob.glob(_file + "/*.npy"))
+            ds = tf.data.Dataset.from_tensor_slices(samples)
+            ds = ds.map(map_func=self.parse_fn_test)
+            return ds.batch(batch_size=1), samples
+
+    config = twt.Config(0)
+    config.CHECKPOINT_DIR = os.path.join(WORKDIR, "ckpt_unused_tsm_ucb")
+    config.DATA_DIR_TEST = [os.path.join(deep, "UCB", "train", "input", "*")]
+    fsr = twt.FSRNet(config)
+    z = tf.zeros((2, 256, 256, 3))
+    fsr.gen(z, z, tf.zeros((2, 256, 256, 6)), 2, tf.constant(True), 1, False)
+
+    variables = TSMGenerator().init(
+        jax.random.PRNGKey(0),
+        np.zeros((2, 64, 64, 3), np.float32),
+        np.zeros((2, 64, 64, 3), np.float32),
+        np.zeros((2, 64, 64, 6), np.float32), frame=2)
+    weights = e2e_weights(variables, generator_mapping("tsm"), SEED)
+    n = assign_weights(fsr.gen, "generator", weights)
+    print(f"tsm-ucb fsrnet: assigned {n} generator variables")
+
+    ds = UCBTSMDataset(config, "test")
+    masks = sorted(os.listdir(
+        "UCB_input_images_face_masks_cropped_and_padded_with_hair/"))
+    feed = iter(ds.feed)
+    names = []
+    for count in range(N_UCB):
+        img, box, _ = next(feed)
+        part = []
+        for d in ("UCB_input_images_face_masks_cropped_and_padded_with_hair",
+                  "UCB_input_images_face_masks_cropped_and_padded",
+                  "UCB_input_images_mouth_masks_cropped_and_padded",
+                  "UCB_input_images_nose_masks_cropped_and_padded",
+                  "UCB_input_images_eyebrow_masks_cropped_and_padded",
+                  "UCB_input_images_eye_masks_cropped_and_padded",
+                  "UCB_input_images_glasses_masks_cropped_and_padded"):
+            part.append(tf.convert_to_tensor(
+                cv2.imread(d + "/" + masks[count]) / 255.0))
+        losses, figs, frac_nose, mean_int = fsr.test_step(
+            img, box, *part, training=False)
+        name = ds.name_list[count]
+        names.append(name)
+        out[f"tsm{count}_box"] = np.asarray(box).reshape(4).astype(np.float32)
+        out[f"tsm{count}_input"] = np.asarray(figs[0])[0].astype(np.float16)
+        out[f"tsm{count}_composite"] = np.asarray(figs[1])[0].astype(
+            np.float16)
+        out[f"tsm{count}_mask_pred"] = np.asarray(figs[2])[0].astype(
+            np.float16)
+        out[f"tsm{count}_detected"] = np.packbits(
+            np.asarray(figs[4])[0][..., 0] > 0.5)
+        out[f"tsm{count}_psnr"] = np.float32(losses["psnr"])
+        out[f"tsm{count}_ssim"] = np.float32(losses["ssim"])
+        out[f"tsm{count}_frac_nose"] = np.float32(frac_nose)
+        out[f"tsm{count}_mean_int"] = np.float32(mean_int)
+        detected_frac = float((np.asarray(figs[4])[0][..., 0] > 0.5).mean())
+        print(f"tsm-ucb golden {count}: {name} "
+              f"psnr={float(losses['psnr']):.2f} "
+              f"ssim={float(losses['ssim']):.4f} "
+              f"detected_frac={detected_frac:.4f} "
+              f"frac_nose={float(frac_nose):.4f}")
+    out["tsm_names"] = np.asarray([os.path.basename(n) for n in names])
+    out["tsm_mask_files"] = np.asarray(masks[:N_UCB])
+
+
 def main():
     import random
 
@@ -435,6 +578,14 @@ def main():
         make_rgb_ucb_golden(out)
         np.savez_compressed(os.path.join(OUT_DIR, "e2e_rgb.npz"), **out)
         print("wrote e2e_rgb.npz:", sorted(out))
+        return
+
+    if "--tsm-ucb" in sys.argv:
+        # separate fixture file for the same reason as --rgb
+        out = {}
+        make_tsm_ucb_golden(out)
+        np.savez_compressed(os.path.join(OUT_DIR, "e2e_tsm_ucb.npz"), **out)
+        print("wrote e2e_tsm_ucb.npz:", sorted(out))
         return
 
     if "--video" in sys.argv:
