@@ -259,7 +259,14 @@ class UCBEvaluator(Evaluator):
 
         s = self.config.img_size
         size = int(min(box[3] - box[1], s))
-        pi = prep_part_inputs(self._resized_parts(parts, size), params)
+        is_tsm = self.config.variant == "tsm"
+        # the TSM protocol runs the heuristics at full resolution against
+        # the UNRESIZED part masks and forwards the anchor+mirror pair with
+        # frame=1 (train_with_TSM.py:420-617); GSC resizes everything into
+        # the crop box and forwards with chuck/frame=4
+        frame = 1 if is_tsm else 4
+        pi = prep_part_inputs(
+            parts if is_tsm else self._resized_parts(parts, size), params)
         # cache key by VALUE (PostprocessParams is a frozen dataclass):
         # id() can be reused by a later allocation after the first params
         # object is collected, silently replaying a step compiled with the
@@ -276,15 +283,16 @@ class UCBEvaluator(Evaluator):
                         b["lm"], b["face_pts"], b["uv_tris"],
                         b["face_tris"], b["reg_tris"], s)
                     return self._apply_gen(v, b["img"], maps["uv"],
-                                           maps["reg"], 4, True)
+                                           maps["reg"], frame, True)
             else:
                 def fwd(v, b):
                     # reg is absent for gsc/rgb (_ingress drops it: those
                     # forwards never read it) and the generators accept None
                     return self._apply_gen(v, b["img"], b["uv"],
-                                           b.get("reg"), 4, True)
+                                           b.get("reg"), frame, True)
 
-            self._fused_step = build_fused_ucb_step(fwd, params, s)
+            self._fused_step = build_fused_ucb_step(
+                fwd, params, s, protocol="tsm" if is_tsm else "gsc")
             self._fused_params_key = key
         jbatch = self._ingress(batch)
         kept, out_u8, mp_u8, psnr, ssim = jax.device_get(self._fused_step(
@@ -296,7 +304,10 @@ class UCBEvaluator(Evaluator):
         # same 5-panel diagnostic strip as run_one (input, composite,
         # 2x shadow map, gt, detected); input/gt panels resized on host
         mp = np.repeat(np.asarray(mp_u8, np.float32) / 255.0, 3, axis=2)
-        tmp = _pad_to(_resize_np(batch["img"][0], size), s)
+        # TSM shows the unresized input panel (its composite/heuristics ran
+        # at full res); GSC's panels are resized into the crop box
+        tmp = (batch["img"][0] if is_tsm
+               else _pad_to(_resize_np(batch["img"][0], size), s))
         gt_sc = _pad_to(_resize_np(batch["gt"][0], size), s)
         figs = [tmp[None], pred[None], mp[None] * 2, gt_sc[None],
                 detected[None]]
@@ -419,7 +430,8 @@ class UCBEvaluator(Evaluator):
             def runner(batch, box, name, parts, params):
                 return self.run_one_simple(batch, box, name, parts)
         elif self.config.variant == "tsm":
-            runner = self.run_one_tsm
+            use_fused = True if fused is None else fused
+            runner = self.run_one_fused if use_fused else self.run_one_tsm
         else:
             use_fused = True if fused is None else fused
             runner = self.run_one_fused if use_fused else self.run_one

@@ -179,38 +179,42 @@ def fused_postprocess(mask_pred: jax.Array, tmp: jax.Array, pi: Any,
     mp = mask_pred * pi.face_hair
     intensity = jnp.mean(tmp, axis=2, keepdims=True)
 
-    # mustache / mouth false-positive suppression (:480-497)
-    mp = mp * ~((mp < p.mustache_prob) & (pi.mustache_rect == 1))
-    mp = mp * ~((mp < p.mouth_prob) & (pi.mouth_rect == 1))
+    if p.mustache_mouth_suppression:
+        # mustache / mouth false-positive suppression (:480-497)
+        mp = mp * ~((mp < p.mustache_prob) & (pi.mustache_rect == 1))
+        mp = mp * ~((mp < p.mouth_prob) & (pi.mouth_rect == 1))
 
-    # spatially varying threshold (:518-539)
+    # spatially varying threshold (:518-539); the TSM protocol runs the
+    # flat base threshold only (train_with_TSM.py:495-517)
     thr = jnp.full_like(mp, p.base_threshold)
-    thr = jnp.where(pi.hair_region > 0, p.hair_threshold, thr)
-    thr = jnp.where((pi.hair_region > 0)
-                    & (intensity < p.dark_hair_intensity),
-                    p.dark_hair_threshold, thr)
-    thr = jnp.where((pi.forehead_rect > 0)
-                    & (intensity < p.forehead_intensity),
-                    p.forehead_threshold, thr)
+    if p.adaptive_thresholds:
+        thr = jnp.where(pi.hair_region > 0, p.hair_threshold, thr)
+        thr = jnp.where((pi.hair_region > 0)
+                        & (intensity < p.dark_hair_intensity),
+                        p.dark_hair_threshold, thr)
+        thr = jnp.where((pi.forehead_rect > 0)
+                        & (intensity < p.forehead_intensity),
+                        p.forehead_threshold, thr)
 
-    # mouth-and-below false-positive bands (:541-557) — the reference's
-    # host `if`s on mask-derived scalars, as traced selects
-    roi = pi.below_mouth_roi
-    over = (mp > p.base_threshold).astype(jnp.float32)
-    roi_sum = jnp.maximum(roi.sum() * 3.0, 1e-6)   # 3-channel ref sums
-    frac = (over * roi).sum() * 3.0 / roi_sum
-    denom = jnp.maximum((roi * over).sum(), 1e-6)
-    mean_mnb = (roi * over * intensity).sum() / denom
-    band_hit = jnp.zeros((), bool)
-    for lo, hi, min_int in p.mouth_frac_bands:
-        hit = (frac > lo) & (frac < hi)
-        if min_int is not None:
-            hit = hit & (mean_mnb > min_int)
-        band_hit = band_hit | hit
-    thr = jnp.where(band_hit & (roi > 0), 1.0, thr)
+        # mouth-and-below false-positive bands (:541-557) — the reference's
+        # host `if`s on mask-derived scalars, as traced selects
+        roi = pi.below_mouth_roi
+        over = (mp > p.base_threshold).astype(jnp.float32)
+        roi_sum = jnp.maximum(roi.sum() * 3.0, 1e-6)   # 3-channel ref sums
+        frac = (over * roi).sum() * 3.0 / roi_sum
+        denom = jnp.maximum((roi * over).sum(), 1e-6)
+        mean_mnb = (roi * over * intensity).sum() / denom
+        band_hit = jnp.zeros((), bool)
+        for lo, hi, min_int in p.mouth_frac_bands:
+            hit = (frac > lo) & (frac < hi)
+            if min_int is not None:
+                hit = hit & (mean_mnb > min_int)
+            band_hit = band_hit | hit
+        thr = jnp.where(band_hit & (roi > 0), 1.0, thr)
 
-    # left-eyebrow-at-face-edge gate (:558-572)
-    thr = jnp.where((pi.brow_edge_gate > 0) & (intensity > 0.1), 1.0, thr)
+        # left-eyebrow-at-face-edge gate (:558-572)
+        thr = jnp.where((pi.brow_edge_gate > 0) & (intensity > 0.1), 1.0,
+                        thr)
 
     detected = (mp > thr).astype(jnp.float32)
 
@@ -236,14 +240,18 @@ def fused_postprocess(mask_pred: jax.Array, tmp: jax.Array, pi: Any,
 
 
 def build_fused_ucb_step(forward_fn, params: PostprocessParams,
-                         img_size: int = 256):
+                         img_size: int = 256, protocol: str = "gsc"):
     """Returns a jitted fn(variables, batch, size, part_inputs) ->
     (detected [S,S,1], composite [S,S,3] uint8, shadow map [S,S,1] uint8,
     psnr, ssim) — one device call per image.  `forward_fn(variables,
     batch)` must return the generator 4-tuple (gs, rgb, mask22, dif);
     `batch` is the dataset's dict of view arrays (host-rasterized maps OR
     device_geometry primitives — the forward decides), which must include
-    "img" and "gt"."""
+    "img" and "gt".
+
+    protocol="tsm" fuses the structurally different TSM pipeline
+    (train_with_TSM.py:420-617): heuristics at full resolution against the
+    UNRESIZED part masks, composite BEFORE the resize-into-box."""
     s = img_size
 
     def step(variables, batch, size, pi):
@@ -255,14 +263,21 @@ def build_fused_ucb_step(forward_fn, params: PostprocessParams,
                  for k, v in batch.items()}
         _, rgb, _, mask_pred = forward_fn(variables, batch)
         a = dynamic_resize_matrix(size, s)
-
-        tmp = resize_into_box(batch["img"][0].astype(jnp.float32), a)
         gt_sc = resize_into_box(batch["gt"][0].astype(jnp.float32), a)
-        pred = resize_into_box(jnp.clip(rgb[0], 0.0, 1.0), a)
-        mp = resize_into_box(mask_pred[0], a)
 
-        kept = fused_postprocess(mp, tmp, pi, params)
-        out = jnp.clip(pred * kept + tmp * (1.0 - kept), 0.0, 1.0)
+        if protocol == "tsm":
+            tmp = batch["img"][0].astype(jnp.float32)
+            mp = mask_pred[0]
+            kept = fused_postprocess(mp, tmp, pi, params)
+            out = jnp.clip(rgb[0] * kept + tmp * (1.0 - kept), 0.0, 1.0)
+            out = resize_into_box(out, a)
+            mp = mp * pi.face_hair   # the diagnostic panel (gated map)
+        else:
+            tmp = resize_into_box(batch["img"][0].astype(jnp.float32), a)
+            pred = resize_into_box(jnp.clip(rgb[0], 0.0, 1.0), a)
+            mp = resize_into_box(mask_pred[0], a)
+            kept = fused_postprocess(mp, tmp, pi, params)
+            out = jnp.clip(pred * kept + tmp * (1.0 - kept), 0.0, 1.0)
         psnr = psnr_fn(gt_sc[None], out[None])[0]
         ssim = ssim_fn(gt_sc[None], out[None])[0]
         # compact egress: metrics are computed ON DEVICE from the f32

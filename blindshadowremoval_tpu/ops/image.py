@@ -126,17 +126,26 @@ def _ssim_kernel(size: int = 11, sigma: float = 1.5) -> jax.Array:
 
 
 def _filter2d_valid(x: jax.Array, k1d: jax.Array) -> jax.Array:
-    """Separable VALID filter of [B, H, W, C] with a 1D kernel both axes."""
+    """Separable VALID filter of [B, H, W, C] with a 1D kernel both axes.
+
+    precision=HIGHEST: on TPU the default precision runs f32 convs through
+    bf16 multiply passes, and SSIM's variance `E[x²] - E[x]²` is a
+    catastrophic cancellation — bf16 filter error (~1e-3) can push
+    `va + vb` to ≈ -c2 (-9e-4), where the contrast term's denominator
+    crosses zero and single windows explode to ~1e6 (observed on real
+    eval pairs: whole-image "SSIM" of 35.8)."""
     c = x.shape[-1]
     kr = jnp.tile(k1d[:, None, None, None], (1, 1, 1, c))
     kc = jnp.tile(k1d[None, :, None, None], (1, 1, 1, c))
     dn = ("NHWC", "HWIO", "NHWC")
     y = jax.lax.conv_general_dilated(x, kr, (1, 1), "VALID",
                                      dimension_numbers=dn,
-                                     feature_group_count=c)
+                                     feature_group_count=c,
+                                     precision=jax.lax.Precision.HIGHEST)
     return jax.lax.conv_general_dilated(y, kc, (1, 1), "VALID",
                                         dimension_numbers=dn,
-                                        feature_group_count=c)
+                                        feature_group_count=c,
+                                        precision=jax.lax.Precision.HIGHEST)
 
 
 def ssim(a: jax.Array, b: jax.Array, max_val: float = 1.0) -> jax.Array:
@@ -159,8 +168,10 @@ def ssim(a: jax.Array, b: jax.Array, max_val: float = 1.0) -> jax.Array:
     bbm = _filter2d_valid(bb * bb, k)
     abm = _filter2d_valid(ab * bb, k)
 
-    va = aa - mu_a * mu_a
-    vb = bbm - mu_b * mu_b
+    # exact variances are >= 0; clamp the cancellation residue so the cs
+    # denominator can never cross zero even under reduced-precision filters
+    va = jnp.maximum(aa - mu_a * mu_a, 0.0)
+    vb = jnp.maximum(bbm - mu_b * mu_b, 0.0)
     cov = abm - mu_a * mu_b
 
     lum = (2 * mu_a * mu_b + c1) / (mu_a ** 2 + mu_b ** 2 + c1)

@@ -82,6 +82,54 @@ def test_fused_matches_host_pipeline(tmp_path):
 
 
 @needs_ref
+def test_fused_matches_host_pipeline_tsm(tmp_path):
+    """protocol="tsm" fuses the TSM UCB pipeline (full-res heuristics, flat
+    threshold, composite-before-resize, frame=1 anchor+mirror forward); it
+    must agree with the host-orchestrated run_one_tsm — whose outputs are
+    verified EXACTLY against the TF reference in
+    tests/test_tf_ref_e2e.py::test_tsm_ucb_protocol_parity."""
+    from blindshadowremoval_tpu.models.generator_tsm import TSMGenerator
+
+    golden = np.load(os.path.join(os.path.dirname(__file__), "goldens",
+                                  "tf_ref", "e2e_tsm_ucb.npz"))
+    gen = TSMGenerator()
+    z3 = np.zeros((2, 64, 64, 3), np.float32)
+    variables = gen.init(jax.random.PRNGKey(0), z3, z3,
+                         np.zeros((2, 64, 64, 6), np.float32), frame=2)
+    weights = synthetic_tf_weights(variables, generator_mapping("tsm"),
+                                   seed=0)
+    weights["generator/clr_conv3/conv/bias"] = (
+        weights["generator/clr_conv3/conv/bias"] + 0.5)
+    variables = load_weights_dict(weights, variables,
+                                  generator_mapping("tsm"))
+
+    cfg = get_config(
+        "ucb", variant="tsm",
+        data_dirs_test=(os.path.join(REF, "UCB", "train", "input", "*"),),
+        compute_dtype="float32", part_mask_root=REF,
+        checkpoint_dir=str(tmp_path))
+    ds = Dataset(cfg, "test")
+    ev = UCBEvaluator(cfg, variables)
+
+    from blindshadowremoval_tpu.eval.postprocess import TSM_PARAMS
+
+    it = iter(ds)
+    for i in range(len(golden["tsm_names"])):
+        batch, box, name = next(it)
+        parts = ev._load_part_masks(REF, i)
+        host = ev.run_one_tsm(batch, box, f"thost{i}", parts)
+        fused = ev.run_one_fused(batch, box, f"tfused{i}", parts,
+                                 params=TSM_PARAMS)
+        assert (fused["detected"] == host["detected"]).all(), \
+            f"tsm{i}: detected masks differ " \
+            f"({(fused['detected'] != host['detected']).mean():.4f})"
+        comp_err = np.abs(fused["pred"] - host["pred"]).max()
+        assert comp_err <= 0.5 / 255 + 1e-4, f"tsm{i}: composite {comp_err}"
+        assert abs(fused["psnr"] - host["psnr"]) < 0.01, i
+        assert abs(fused["ssim"] - host["ssim"]) < 1e-4, i
+
+
+@needs_ref
 def test_fused_compact_ingress(tmp_path):
     """config.compact_ingress ships [0,1] view arrays as uint16 fixed-point
     (dequantized in-graph) and drops keys the graph never reads (reg/face

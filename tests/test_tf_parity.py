@@ -52,6 +52,27 @@ def test_tf_parity_psnr_ssim(imgs):
                                ref_ssim, atol=2e-4)
 
 
+def test_ssim_bounded_on_quantized_pairs(imgs):
+    """SSIM must stay in [-1, 1] even for uint8-quantized predictions vs
+    smooth gt with flat windows.  Regression guard for a real failure: on
+    TPU the default conv precision runs the SSIM filters through bf16
+    passes, the variance cancellation `E[x²]-E[x]²` picks up ~1e-3 error,
+    and windows where `va+vb ≈ -c2` explode the contrast denominator
+    (observed whole-image "SSIM" of 35.8 on a real eval pair).  Fixed by
+    precision=HIGHEST in _filter2d_valid plus clamping the variances at 0."""
+    rng = np.random.default_rng(3)
+    gt = np.clip(0.97 + rng.normal(scale=0.005, size=(1, 256, 256, 3)),
+                 0, 1).astype(np.float32)
+    pred = (np.round(np.clip(
+        0.58 + rng.normal(scale=0.01, size=gt.shape), 0, 1) * 255.0)
+        / 255.0).astype(np.float32)
+    # zero-padded corner, as produced by the eval resize-into-box
+    gt[:, 200:, 200:] = 0.0
+    pred[:, 200:, 200:] = 0.0
+    s = np.asarray(ssim(jnp.asarray(gt), jnp.asarray(pred)))
+    assert np.all(s >= -1.0 - 1e-4) and np.all(s <= 1.0 + 1e-4), s
+
+
 def test_tf_parity_hsv(imgs):
     a, _ = imgs
     ref = tf.image.rgb_to_hsv(a).numpy()
