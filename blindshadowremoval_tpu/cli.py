@@ -172,7 +172,11 @@ def main(argv=None):
             device_geometry=args.device_geometry)
     else:
         overrides["data_dirs_test"] = (args.data,)
-        if getattr(args, "eval_views", None):
+        if getattr(args, "eval_views", None) is not None:
+            if args.eval_views < 1:
+                print(f"--eval-views must be >= 1, got {args.eval_views}",
+                      file=sys.stderr)
+                return 2
             overrides["eval_views"] = args.eval_views
         if getattr(args, "device_geometry", False):
             overrides["device_geometry"] = True
@@ -187,7 +191,7 @@ def main(argv=None):
     # ignoring it.  (infer/sfw run frame=1 and sfw-video packs fixed
     # 10-frame batches — any eval_views works there.)
     if cfg.variant == "tsm" and args.cmd == "ucb" and \
-            getattr(args, "eval_views", None):
+            getattr(args, "eval_views", None) is not None:
         print("--eval-views does not apply to --variant tsm ucb eval: the "
               "TSM protocol always forwards the anchor + mirrored pair "
               "(train_with_TSM.py:431-433)", file=sys.stderr)

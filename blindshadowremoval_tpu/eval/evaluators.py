@@ -247,7 +247,7 @@ class UCBEvaluator(Evaluator):
 
     def run_one_fused(self, batch: dict, box: np.ndarray, name: str,
                       parts: dict,
-                      params: PostprocessParams = PostprocessParams()):
+                      params: Optional[PostprocessParams] = None):
         """One device call per image: forward (with in-graph geometry
         rasterization under config.device_geometry) + resize-into-box +
         heuristics + connected components + composite + PSNR/SSIM fused
@@ -260,6 +260,8 @@ class UCBEvaluator(Evaluator):
         s = self.config.img_size
         size = int(min(box[3] - box[1], s))
         is_tsm = self.config.variant == "tsm"
+        if params is None:   # variant-aware default, like run()
+            params = TSM_PARAMS if is_tsm else PostprocessParams()
         # the TSM protocol runs the heuristics at full resolution against
         # the UNRESIZED part masks and forwards the anchor+mirror pair with
         # frame=1 (train_with_TSM.py:420-617); GSC resizes everything into
@@ -423,18 +425,26 @@ class UCBEvaluator(Evaluator):
         grayscale-difference shadow map); "tsm" runs the TSM protocol
         (run_one_tsm: full-res heuristics with TSM_PARAMS, frame=1).
         params=None selects the variant's reference constants."""
-        if params is None:
-            params = (TSM_PARAMS if self.config.variant == "tsm"
-                      else PostprocessParams())
         if self.config.variant == "rgb" and not rgb_heuristics:
+            if params is not None:
+                raise ValueError(
+                    "params has no effect on the RGB simple-composite "
+                    "protocol (no heuristic detection, "
+                    "train_RGB_test.py:403-505); pass rgb_heuristics=True "
+                    "to run the heuristic pipeline with custom params")
+
             def runner(batch, box, name, parts, params):
                 return self.run_one_simple(batch, box, name, parts)
-        elif self.config.variant == "tsm":
-            use_fused = True if fused is None else fused
-            runner = self.run_one_fused if use_fused else self.run_one_tsm
         else:
+            if params is None:   # the variant's reference constants
+                params = (TSM_PARAMS if self.config.variant == "tsm"
+                          else PostprocessParams())
             use_fused = True if fused is None else fused
-            runner = self.run_one_fused if use_fused else self.run_one
+            if self.config.variant == "tsm":
+                runner = (self.run_one_fused if use_fused
+                          else self.run_one_tsm)
+            else:
+                runner = self.run_one_fused if use_fused else self.run_one
 
         def items():
             for step, (batch, box, name) in enumerate(dataset):

@@ -201,9 +201,7 @@ class ShadowRemovalService:
                 if n < bs:   # pad the tail batch to the warm shape
                     pad = np.full((bs - n,) + arr.shape[1:], fill, arr.dtype)
                     arr = np.concatenate([arr, pad])
-                if self._shard is not None:
-                    return jax.device_put(arr, self._shard)
-                return jnp.asarray(arr)
+                return self._put(arr)
 
             if self._devgeo:
                 rgb, dif = self._fwd(

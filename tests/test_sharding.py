@@ -114,10 +114,11 @@ def test_serving_over_mesh_matches_single_device(tmp_path):
     mesh = make_mesh((8,), ("data",))
     svc1 = ShadowRemovalService(cfg, variables, batch_size=8, mesh=mesh)
 
-    # 5 requests: a sharded full batch + padded tail on both services
-    ref = svc0.remove_shadows([img] * 5, [lm] * 5)
+    # 13 requests: one FULL sharded batch of 8 + a padded tail of 5, so
+    # both the unpadded and padded upload paths go through the mesh
+    ref = svc0.remove_shadows([img] * 13, [lm] * 13)
     with mesh:
-        out = svc1.remove_shadows([img] * 5, [lm] * 5)
+        out = svc1.remove_shadows([img] * 13, [lm] * 13)
     for r, o in zip(ref, out):
         np.testing.assert_allclose(o["pred"], r["pred"], atol=2e-5)
         np.testing.assert_allclose(o["mask_pred"], r["mask_pred"], atol=2e-5)
