@@ -390,10 +390,23 @@ class Dataset:
         return [f] + rest
 
     def parse_test_sfw_video(self, lm_path: str) -> tuple[dict, np.ndarray]:
-        """10 temporally spread frames of one video (dataset.py:772-1065)."""
+        """10 temporally spread frames of one video (dataset.py:772-1065).
+
+        Scheduled frame indices are clamped to the video's available range.
+        The reference assumes every anchor's full offset schedule exists on
+        disk and `input()`-BLOCKS forever on a missing frame
+        (dataset.py:871-874 and the 8 analogous checks); clamping instead
+        keeps short clips and end-of-video anchors evaluable — a deliberate
+        delta (PARITY.md) that only changes behavior where the reference
+        would hang."""
         folder = os.path.dirname(lm_path)
         stem = os.path.basename(lm_path).split(".")[0]
-        frames = self.video_frame_schedule(int(stem))
+        avail = sorted(int(os.path.basename(p).split(".")[0])
+                       for p in _glob.glob(os.path.join(folder, "*.npy"))
+                       if os.path.basename(p).split(".")[0].isdigit())
+        lo, hi = (avail[0], avail[-1]) if avail else (0, 0)
+        frames = [min(max(fr, lo), hi)
+                  for fr in self.video_frame_schedule(int(stem))]
         views, box = [], None
         for fr in frames:
             lm_path = os.path.join(folder, f"{fr}.npy")

@@ -164,6 +164,13 @@ def test_sfw_video_schedule_and_eval(tmp_path):
     assert r["pred"].shape == (10, S, S, 3)
     assert len(os.listdir(tmp_path / "bbox")) == 1
 
+    # end-of-video anchors: scheduled offsets past the last frame clamp to
+    # the available range (the reference input()-BLOCKS on missing frames,
+    # dataset.py:871-874) — anchor 19 of this 20-frame clip schedules up to
+    # frame 28, which must resolve without error
+    batch, box = ds.parse_test_sfw_video(ds.name_list[-1])
+    assert batch["img"].shape == (10, S, S, 3)
+
 
 def _make_ucb_fixture(tmp_path):
     """UCB layout: <root>/input/<id>/x.{png,npy}, <root>/gt/<id>/x.png,
