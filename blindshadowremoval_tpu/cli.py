@@ -30,13 +30,15 @@ def _add_common(p):
                    choices=[None, "gsc", "tsm", "rgb"])
     p.add_argument("--int8-head", action="store_true",
                    help="serve the output head int8 (~+11%% throughput; "
-                        "head parity 38-40 dB, final output ~22 dB vs "
-                        "f32 on a trained ckpt — see docs/perf.md)")
+                        "parity figures in docs/perf.md). Activation bounds "
+                        "are auto-calibrated per channel from the restored "
+                        "checkpoint's BatchNorm statistics")
     p.add_argument("--int8-head-scale", type=float, default=0.0,
-                   help="calibrated static activation bound for the int8 "
-                        "head (tools/calibrate_int8_head.py); removes the "
-                        "dynamic-max quantize pass for another +10%% "
-                        "throughput. 0 = dynamic per-sample max")
+                   help="override the auto-calibrated int8 activation bound "
+                        "with one scalar (tools/calibrate_int8_head.py); "
+                        "negative = dynamic per-sample max (costs an extra "
+                        "bandwidth pass). Default 0 = auto per-channel from "
+                        "the checkpoint")
     p.add_argument("--seed", type=int, default=0)
 
 
@@ -138,7 +140,10 @@ def _restore(cfg):
     state, step = mgr.restore_latest(state)
     print(f"Restore from step {step}")
     variables = {"params": state.gen_params, "batch_stats": state.gen_stats}
-    return trainer, state, variables, mgr
+    from blindshadowremoval_tpu.ops.calibration import calibrate_config
+
+    cfg = calibrate_config(cfg, variables)
+    return trainer, state, variables, mgr, cfg
 
 
 def main(argv=None):
@@ -202,7 +207,7 @@ def main(argv=None):
     if args.cmd == "train":
         return run_train(cfg, args)
 
-    trainer, state, variables, _ = _restore(cfg)
+    trainer, state, variables, _, cfg = _restore(cfg)
     from blindshadowremoval_tpu.eval.evaluators import (
         InTheWildEvaluator,
         SFWEvaluator,

@@ -74,14 +74,20 @@ class Config:
                                            # exactly.
     remat: bool = False                    # rematerialize bottleneck blocks in training
     int8_head: bool = False                # serve the 7x7 output head int8
-                                           # (~+11% e2e; head parity 38-40 dB,
-                                           # final output ~22 dB vs f32 on
-                                           # a trained ckpt — docs/perf.md)
-    int8_head_scale: float = 0.0           # calibrated static activation
-                                           # bound for the int8 head (0 =
-                                           # dynamic per-sample max); see
-                                           # ops/quant.py and
-                                           # tools/calibrate_int8_head.py
+                                           # (~+11% e2e; parity figures in
+                                           # docs/perf.md)
+    int8_head_scale: object = 0.0          # static activation bound(s) for
+                                           # the int8 head.  0.0 = AUTO:
+                                           # derive per-channel bounds from
+                                           # the restored checkpoint's own
+                                           # BatchNorm statistics at restore
+                                           # time (ops/calibration.py) — the
+                                           # default every restore path uses.
+                                           # tuple = explicit per-channel
+                                           # bounds; float > 0 = one scalar
+                                           # bound; < 0 = dynamic per-sample
+                                           # max (costs an extra bandwidth
+                                           # pass; ops/quant.py)
     s2d_convs: bool = False                # compute the lane-starved 7x7
                                            # convs (conv1, output heads) via
                                            # 2x2 space-to-depth (identical

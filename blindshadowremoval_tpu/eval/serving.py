@@ -66,7 +66,11 @@ class ShadowRemovalService:
     mesh: Any = None
 
     def __post_init__(self):
-        cfg = self.config
+        from blindshadowremoval_tpu.ops.calibration import calibrate_config
+
+        # int8 head: derive per-channel activation bounds from the restored
+        # checkpoint's own BatchNorm statistics (AUTO default)
+        cfg = self.config = calibrate_config(self.config, self.variables)
         self.gen = build_generator(cfg)
         s = cfg.img_size
         if self.mesh is not None:

@@ -40,7 +40,8 @@ class _Int8Conv(nn.Module):
     features: int
     ksize: int
     stride: int = 1
-    static_scale: float = 0.0
+    static_scale: float | tuple = 0.0   # scalar, per-channel tuple, or
+                                        # <= 0 for dynamic (ops/quant.py)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -145,8 +146,10 @@ class ConvBlock(nn.Module):
     act: bool = True
     dropout: bool = False
     quant_int8: bool = False   # serve this conv int8 (see ops/quant.py)
-    quant_scale: float = 0.0   # calibrated static activation bound for the
-                               # int8 path (0 = dynamic per-sample max)
+    quant_scale: float | tuple = 0.0   # calibrated static activation
+                               # bound(s) for the int8 path: scalar or
+                               # per-input-channel tuple (<= 0 = dynamic
+                               # per-sample max)
     s2d: bool = False          # compute via 2x2 space-to-depth (lane-starved
                                # stride-1 convs: conv1 / output head)
     dtype: Any = jnp.float32

@@ -43,10 +43,13 @@ class GSCGenerator(nn.Module):
     remat: bool = False   # rematerialize ResBottlenecks (trade FLOPs for HBM)
     int8_head: bool = False   # serve the 7x7 output head int8 (2x faster;
                               # see ops/quant.py for the measurement)
-    int8_head_scale: float = 0.0  # calibrated static activation bound for
-                              # the int8 head (0 = dynamic per-sample max;
-                              # a static bound lets the quantize fuse into
-                              # the producing fusion — ops/quant.py)
+    int8_head_scale: float | tuple = 0.0  # calibrated static activation
+                              # bound(s) for the int8 head: a per-channel
+                              # tuple (ops/calibration.py derives one from
+                              # the checkpoint), a scalar, or <= 0 for the
+                              # dynamic per-sample max.  A static bound lets
+                              # the quantize fuse into the producing fusion
+                              # (ops/quant.py)
     s2d_convs: bool = False   # space-to-depth 7x7 convs — measured slower
                               # on v5e (see config.py); off by default
     dtype: Any = jnp.float32

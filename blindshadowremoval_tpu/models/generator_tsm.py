@@ -82,7 +82,7 @@ class TSMGenerator(nn.Module):
     axis_name: Optional[str] = None
     remat: bool = False   # rematerialize ResBottlenecks (trade FLOPs for HBM)
     int8_head: bool = False   # serve the 7x7 output head int8 (see generator.py)
-    int8_head_scale: float = 0.0  # calibrated static bound (see generator.py)
+    int8_head_scale: float | tuple = 0.0  # static bound(s) (see generator.py)
     s2d_convs: bool = False   # space-to-depth 7x7 convs (see generator.py)
     dtype: Any = jnp.float32
 

@@ -120,3 +120,100 @@ def test_int8_conv_static_scale():
     spike = x.at[0, 0, 0, 0].set(100.0)
     sat = np.asarray(int8_conv(spike, w, b, static_scale=4.0))
     assert np.isfinite(sat).all()
+
+
+def test_int8_conv_per_channel_scale(rng):
+    """Per-input-channel bounds: exactness contract and the measured
+    coupling that bounds their benefit.
+
+    Folding per-channel activation scales into the kernel makes EVERY
+    channel's xq full-scale, so the per-output-channel weight grid (set by
+    the largest folded tap) multiplies large codes for all taps: the
+    activation-side win is partly traded for weight-side error.  With
+    channel-independent weights and 100x activation ranges the two nearly
+    cancel (first measured here — this is why the scheme is an option, not
+    the default; the scalar bound remains the production head config,
+    docs/perf.md)."""
+    import pytest
+
+    cin, cout = 8, 4
+    ranges = np.geomspace(0.1, 10.0, cin).astype(np.float32)
+    x = jnp.asarray(rng.uniform(-1, 1, size=(2, 16, 16, cin)).astype(
+        np.float32) * ranges)
+    w = jnp.asarray(rng.normal(0, 0.2, size=(3, 3, cin, cout)).astype(
+        np.float32))
+    b = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+    ref = np.asarray(jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b)
+
+    scalar = np.asarray(int8_conv(x, w, b,
+                                  static_scale=float(ranges.max())))
+    per_ch = np.asarray(int8_conv(x, w, b,
+                                  static_scale=tuple(float(r)
+                                                     for r in ranges)))
+    scale = np.abs(ref).max() + 1e-6
+    # both paths are correct int8 approximations of the float conv
+    assert np.abs(scalar - ref).max() / scale < 0.05
+    assert np.abs(per_ch - ref).max() / scale < 0.05
+    # and comparable: per-channel does NOT blow up despite 100x folded
+    # weight ranges (nor does it dominate — the weight-grid coupling)
+    assert np.abs(per_ch - ref).max() < 2.0 * np.abs(scalar - ref).max()
+
+    with pytest.raises(ValueError, match="per-channel"):
+        int8_conv(x, w, b, static_scale=(1.0, 2.0))
+
+
+def test_head_input_bounds_cover_activations(rng):
+    """The checkpoint-derived K-sigma bounds (ops/calibration.py) cover the
+    eval-mode BN+LeakyReLU output distribution they model."""
+    from blindshadowremoval_tpu.ops.calibration import head_input_bounds
+
+    ch = 16
+    gamma = rng.uniform(0.05, 3.0, ch).astype(np.float32)
+    beta = rng.normal(0, 2.0, ch).astype(np.float32)
+    variables = {"params": {"up3": {"BatchNorm_0": {
+        "scale": gamma, "bias": beta}}}}
+    bounds = np.asarray(head_input_bounds(variables))
+    assert bounds.shape == (ch,) and (bounds > 0).all()
+
+    # activations whose stats match the running stats come out of eval BN
+    # as N(beta, gamma^2); through LeakyReLU the 8-sigma envelope covers the
+    # max of 100k draws (~4.5 sigma) with margin
+    z = rng.normal(0, 1, size=(100_000, ch)).astype(np.float32)
+    y = gamma * z + beta
+    y = np.where(y > 0, y, 0.3 * y)
+    assert (np.abs(y).max(axis=0) <= bounds).all()
+
+
+def test_calibrate_config_auto(rng):
+    """calibrate_config replaces the 0.0 AUTO default with per-channel
+    bounds from the checkpoint, and leaves explicit settings alone."""
+    from blindshadowremoval_tpu.config import get_config
+    from blindshadowremoval_tpu.models.generator import GSCGenerator
+    from blindshadowremoval_tpu.ops.calibration import calibrate_config
+
+    s = 32
+    img = jnp.asarray(rng.uniform(size=(1, s, s, 3)).astype(np.float32))
+    v = GSCGenerator().init(jax.random.PRNGKey(0), img, img,
+                            jnp.zeros((1, s, s, 6), jnp.float32))
+
+    cfg = calibrate_config(
+        get_config("in_the_wild", int8_head=True), v)
+    assert isinstance(cfg.int8_head_scale, tuple)
+    assert len(cfg.int8_head_scale) == 64   # up3 width (N_CH[1])
+
+    # the calibrated config builds and runs a generator
+    from blindshadowremoval_tpu.train.trainer import build_generator
+
+    gen = build_generator(cfg)
+    out = gen.apply(v, img, img, jnp.zeros((1, s, s, 6), jnp.float32))
+    assert np.isfinite(np.asarray(out[1])).all()
+
+    # explicit scalar / dynamic / int8-off / rgb are untouched
+    for kw in (dict(int8_head=True, int8_head_scale=18.29),
+               dict(int8_head=True, int8_head_scale=-1.0),
+               dict(int8_head=False),
+               dict(int8_head=True, variant="rgb")):
+        c = get_config("in_the_wild", **kw)
+        assert calibrate_config(c, v) is c

@@ -55,7 +55,7 @@ def main():
     cfg = get_config(
         "ucb", data_dirs_test=(os.path.join(REF, "UCB", "train", "input", "*"),),
         eval_views=1, compute_dtype="float32", checkpoint_dir=args.ckpt)
-    trainer, state, variables, _ = _restore(cfg)
+    trainer, state, variables, _, cfg = _restore(cfg)
     gen = trainer.gen
     ds = Dataset(cfg, "test")
 
