@@ -39,6 +39,10 @@ def _add_common(p):
                         "negative = dynamic per-sample max (costs an extra "
                         "bandwidth pass). Default 0 = auto per-channel from "
                         "the checkpoint")
+    p.add_argument("--fold-bn", action="store_true",
+                   help="fold eval-mode BatchNorms into the conv kernels "
+                        "at restore time (identical math, fewer elementwise "
+                        "HBM passes; serving/eval only — models/folding.py)")
     p.add_argument("--seed", type=int, default=0)
 
 
@@ -129,12 +133,17 @@ def build_parser():
 
 
 def _restore(cfg):
+    import dataclasses
+
     import jax
 
     from blindshadowremoval_tpu.train.trainer import Trainer
     from blindshadowremoval_tpu.utils.checkpoint import CheckpointManager
 
-    trainer = Trainer.shared(cfg)
+    # the Trainer always restores the live-BatchNorm f32-egress tree; the
+    # serving flags below transform cfg/variables for the eval paths only
+    trainer = Trainer.shared(dataclasses.replace(
+        cfg, fold_bn=False, egress_dtype="float32"))
     state = trainer.init_state(jax.random.PRNGKey(0))
     mgr = CheckpointManager(cfg.checkpoint_dir)
     state, step = mgr.restore_latest(state)
@@ -143,6 +152,10 @@ def _restore(cfg):
     from blindshadowremoval_tpu.ops.calibration import calibrate_config
 
     cfg = calibrate_config(cfg, variables)
+    if cfg.fold_bn:
+        from blindshadowremoval_tpu.models.folding import fold_batch_norm
+
+        variables = fold_batch_norm(variables)
     return trainer, state, variables, mgr, cfg
 
 
@@ -165,6 +178,8 @@ def main(argv=None):
         overrides["int8_head"] = True
     if getattr(args, "int8_head_scale", 0.0):
         overrides["int8_head_scale"] = args.int8_head_scale
+    if getattr(args, "fold_bn", False) and args.cmd != "train":
+        overrides["fold_bn"] = True
     if args.cmd == "train":
         overrides.update(
             data_dirs=tuple(args.data),

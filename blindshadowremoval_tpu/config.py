@@ -97,6 +97,20 @@ class Config:
                                            # + the repack overhead win at
                                            # these shapes) — kept as a tested
                                            # option for other hw/shapes.
+    fold_bn: bool = False                  # serving: fold every eval-mode
+                                           # BatchNorm into its conv's
+                                           # kernel/bias (models/folding.py)
+                                           # — identical math, fewer
+                                           # elementwise HBM passes.  The
+                                           # restore paths fold the restored
+                                           # variables automatically when set.
+                                           # Serving-only: training needs
+                                           # live statistics.
+    egress_dtype: str = "float32"          # dtype of the generator's returned
+                                           # images.  "bfloat16" halves the
+                                           # output HBM writes for serving;
+                                           # the f32 default preserves the
+                                           # evaluators' TF-parity numerics.
     device_geometry: bool = False          # rasterize UV/offset/face maps
                                            # in-graph from landmarks instead
                                            # of on the host (train pipeline)

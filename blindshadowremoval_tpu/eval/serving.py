@@ -69,8 +69,13 @@ class ShadowRemovalService:
         from blindshadowremoval_tpu.ops.calibration import calibrate_config
 
         # int8 head: derive per-channel activation bounds from the restored
-        # checkpoint's own BatchNorm statistics (AUTO default)
+        # checkpoint's own BatchNorm statistics (AUTO default) — before
+        # folding, which consumes those statistics
         cfg = self.config = calibrate_config(self.config, self.variables)
+        if getattr(cfg, "fold_bn", False):
+            from blindshadowremoval_tpu.models.folding import fold_batch_norm
+
+            self.variables = fold_batch_norm(self.variables)
         self.gen = build_generator(cfg)
         s = cfg.img_size
         if self.mesh is not None:

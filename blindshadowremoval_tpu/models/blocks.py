@@ -152,6 +152,8 @@ class ConvBlock(nn.Module):
                                # per-sample max)
     s2d: bool = False          # compute via 2x2 space-to-depth (lane-starved
                                # stride-1 convs: conv1 / output head)
+    fold_bn: bool = False      # serving: BatchNorm folded into the conv's
+                               # kernel/bias (models/folding.py) — skip it
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -177,7 +179,7 @@ class ConvBlock(nn.Module):
         return self._norm_act(x, train)
 
     def _norm_act(self, x: jax.Array, train: bool) -> jax.Array:
-        if self.norm == "batch":
+        if self.norm == "batch" and not self.fold_bn:
             x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                              epsilon=1e-3, dtype=self.dtype)(x)
         if self.act:
@@ -196,6 +198,7 @@ class ConvTBlock(nn.Module):
     norm: Optional[str] = "batch"
     act: bool = True
     dropout: bool = False
+    fold_bn: bool = False      # serving: BatchNorm folded into the conv
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -208,7 +211,7 @@ class ConvTBlock(nn.Module):
             x = nn.SpectralNorm(conv)(x, update_stats=train)
         else:
             x = conv(x)
-        if self.norm == "batch":
+        if self.norm == "batch" and not self.fold_bn:
             x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                              epsilon=1e-3, dtype=self.dtype)(x)
         if self.act:
@@ -231,6 +234,7 @@ class NonLocalBlock(nn.Module):
     ch: int
     out_ch: Optional[int] = None
     use_norm: bool = True
+    fold_bn: bool = False      # serving: BatchNorm folded into the `w` conv
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -257,7 +261,7 @@ class NonLocalBlock(nn.Module):
         y = fused_nonlocal_attention(theta, phi, g).reshape(b, h, w, half)
 
         wy = conv1x1(out_ch, "w")(y)
-        if self.use_norm:
+        if self.use_norm and not self.fold_bn:
             wy = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                               epsilon=1e-3, dtype=self.dtype)(wy)
         return x + wy
@@ -280,11 +284,14 @@ class ResBottleneck(nn.Module):
     ch: int
     ksize: int = 3
     stride: int = 1
+    fold_bn: bool = False      # serving: BatchNorms folded into the convs
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         def bn():
+            if self.fold_bn:
+                return lambda y: y
             return nn.BatchNorm(use_running_average=not train, momentum=0.99,
                                 epsilon=1e-3, dtype=self.dtype)
 
@@ -298,7 +305,8 @@ class ResBottleneck(nn.Module):
         y = nn.Conv(self.ch, (1, 1), padding="SAME",
                     kernel_init=_KERNEL_INIT, dtype=self.dtype)(y)
         y = bn()(y)
-        y = NonLocalBlock(self.ch, self.ch, dtype=self.dtype)(y, train)
+        y = NonLocalBlock(self.ch, self.ch, fold_bn=self.fold_bn,
+                          dtype=self.dtype)(y, train)
         if self.stride > 1:
             x = nn.Conv(self.ch, (1, 1),
                         strides=(self.stride, self.stride), padding="SAME",

@@ -52,7 +52,14 @@ class GSCGenerator(nn.Module):
                               # (ops/quant.py)
     s2d_convs: bool = False   # space-to-depth 7x7 convs — measured slower
                               # on v5e (see config.py); off by default
+    fold_bn: bool = False     # serving: every BatchNorm is folded into its
+                              # conv's kernel/bias — apply with
+                              # models/folding.py:fold_batch_norm(variables)
     dtype: Any = jnp.float32
+    egress_dtype: Any = jnp.float32   # dtype of the returned images; bf16
+                              # for serving halves the output HBM writes
+                              # (the f32 default preserves the evaluators'
+                              # TF-parity numerics)
 
     @nn.compact
     def __call__(self, inputs: jax.Array, uv: jax.Array,
@@ -62,10 +69,10 @@ class GSCGenerator(nn.Module):
 
         # ---- encoder -------------------------------------------------
         x1 = ConvBlock(N_CH[0], ksize=7, s2d=self.s2d_convs,
-                       dtype=self.dtype, name="conv1")(x, train)
-        x2 = ConvBlock(N_CH[1], stride=2, dtype=self.dtype, name="down1")(x1, train)
-        x3 = ConvBlock(N_CH[2], stride=2, dtype=self.dtype, name="down2")(x2, train)
-        x = ConvBlock(N_CH[3], stride=2, dtype=self.dtype, name="down3")(x3, train)
+                       fold_bn=self.fold_bn, dtype=self.dtype, name="conv1")(x, train)
+        x2 = ConvBlock(N_CH[1], stride=2, fold_bn=self.fold_bn, dtype=self.dtype, name="down1")(x1, train)
+        x3 = ConvBlock(N_CH[2], stride=2, fold_bn=self.fold_bn, dtype=self.dtype, name="down2")(x2, train)
+        x = ConvBlock(N_CH[3], stride=2, fold_bn=self.fold_bn, dtype=self.dtype, name="down3")(x3, train)
         _, h, w, _ = x.shape
 
         # ---- bottleneck with UV conditioning ------------------------
@@ -74,14 +81,14 @@ class GSCGenerator(nn.Module):
         res_cls = (nn.remat(ResBottleneck, static_argnums=(2,))
                    if self.remat else ResBottleneck)
         for i in range(self.n_res // 2):
-            x = res_cls(N_CH[5] + 1, dtype=self.dtype,
+            x = res_cls(N_CH[5] + 1, fold_bn=self.fold_bn, dtype=self.dtype,
                               name=f"res{i}")(x, train)
 
         # ---- grayscale head -----------------------------------------
-        y = ConvTBlock(N_CH[3], dtype=self.dtype, name="up1")(x, train)
-        y = ConvTBlock(N_CH[2], dtype=self.dtype, name="up2")(
+        y = ConvTBlock(N_CH[3], fold_bn=self.fold_bn, dtype=self.dtype, name="up1")(x, train)
+        y = ConvTBlock(N_CH[2], fold_bn=self.fold_bn, dtype=self.dtype, name="up2")(
             jnp.concatenate([y, x3], axis=3), train)
-        y = ConvTBlock(N_CH[1], dtype=self.dtype, name="up3")(
+        y = ConvTBlock(N_CH[1], fold_bn=self.fold_bn, dtype=self.dtype, name="up3")(
             jnp.concatenate([y, x2], axis=3), train)
         # conv2 (tanh gain) and conv3 (offset) fused into one 2-channel head:
         # a 7x7 conv with 1 output channel costs the same as with 2 on the
@@ -90,7 +97,7 @@ class GSCGenerator(nn.Module):
         head = ConvBlock(2, ksize=7, norm=None, act=False,
                          quant_int8=self.int8_head, s2d=self.s2d_convs,
                          quant_scale=self.int8_head_scale,
-                         dtype=self.dtype, name="head")(y, train)
+                         fold_bn=self.fold_bn, dtype=self.dtype, name="head")(y, train)
         mask = jnp.tanh(head[..., 0:1])
         con = head[..., 1:2]
 
@@ -108,20 +115,21 @@ class GSCGenerator(nn.Module):
         x_hole = x * (1.0 - bmask)
         x = jnp.concatenate([x_hole, bmask, uv_small], axis=3)
         for i in range(self.n_res // 2, self.n_res):
-            x = res_cls(N_CH[5] + 1, dtype=self.dtype,
+            x = res_cls(N_CH[5] + 1, fold_bn=self.fold_bn, dtype=self.dtype,
                               name=f"res{i}")(x, train)
 
-        f = ConvTBlock(N_CH[4], dtype=self.dtype, name="clr_up1")(x, train)
-        f = ConvTBlock(N_CH[3], dtype=self.dtype, name="clr_up2")(f, train)
-        f = ConvTBlock(N_CH[2], dtype=self.dtype, name="clr_up3")(f, train)
-        con_rgb = ConvBlock(16, ksize=3, dtype=self.dtype, name="clr_conv1")(
+        f = ConvTBlock(N_CH[4], fold_bn=self.fold_bn, dtype=self.dtype, name="clr_up1")(x, train)
+        f = ConvTBlock(N_CH[3], fold_bn=self.fold_bn, dtype=self.dtype, name="clr_up2")(f, train)
+        f = ConvTBlock(N_CH[2], fold_bn=self.fold_bn, dtype=self.dtype, name="clr_up3")(f, train)
+        con_rgb = ConvBlock(16, ksize=3, fold_bn=self.fold_bn, dtype=self.dtype, name="clr_conv1")(
             jnp.concatenate([gs, f], axis=3), train)
-        con_rgb = ConvBlock(16, ksize=1, dtype=self.dtype,
+        con_rgb = ConvBlock(16, ksize=1, fold_bn=self.fold_bn, dtype=self.dtype,
                             name="clr_conv2")(con_rgb, train)
         con_rgb = ConvBlock(3, ksize=1, norm=None, act=False,
-                            dtype=self.dtype, name="clr_conv3")(con_rgb, train)
+                            fold_bn=self.fold_bn, dtype=self.dtype, name="clr_conv3")(con_rgb, train)
 
-        dif_out = (rgb_to_grayscale(con_rgb.astype(jnp.float32))
-                   - rgb_to_grayscale(inputs.astype(jnp.float32)))
-        return (gs.astype(jnp.float32), con_rgb.astype(jnp.float32),
-                mask22.astype(jnp.float32), dif_out)
+        et = self.egress_dtype
+        dif_out = (rgb_to_grayscale(con_rgb.astype(et))
+                   - rgb_to_grayscale(inputs.astype(et)))
+        return (gs.astype(et), con_rgb.astype(et),
+                mask22.astype(et), dif_out.astype(et))

@@ -25,7 +25,10 @@ class RGBGenerator(nn.Module):
     n_res: int = 6
     remat: bool = False   # rematerialize ResBottlenecks (trade FLOPs for HBM)
     s2d_convs: bool = False   # space-to-depth 7x7 convs (see generator.py)
+    fold_bn: bool = False     # serving: BatchNorms folded into the convs
+                              # (models/folding.py; see generator.py)
     dtype: Any = jnp.float32
+    egress_dtype: Any = jnp.float32   # output-image dtype (see generator.py)
 
     @nn.compact
     def __call__(self, inputs: jax.Array, uv: jax.Array,
@@ -34,10 +37,10 @@ class RGBGenerator(nn.Module):
         x = inputs.astype(self.dtype)
 
         x1 = ConvBlock(N_CH[0], ksize=7, s2d=self.s2d_convs,
-                       dtype=self.dtype, name="conv1")(x, train)
-        x2 = ConvBlock(N_CH[1], stride=2, dtype=self.dtype, name="down1")(x1, train)
-        x3 = ConvBlock(N_CH[2], stride=2, dtype=self.dtype, name="down2")(x2, train)
-        x = ConvBlock(N_CH[3], stride=2, dtype=self.dtype, name="down3")(x3, train)
+                       fold_bn=self.fold_bn, dtype=self.dtype, name="conv1")(x, train)
+        x2 = ConvBlock(N_CH[1], stride=2, fold_bn=self.fold_bn, dtype=self.dtype, name="down1")(x1, train)
+        x3 = ConvBlock(N_CH[2], stride=2, fold_bn=self.fold_bn, dtype=self.dtype, name="down2")(x2, train)
+        x = ConvBlock(N_CH[3], stride=2, fold_bn=self.fold_bn, dtype=self.dtype, name="down3")(x3, train)
         _, h, w, _ = x.shape
 
         uv_small = resize_bilinear(uv.astype(self.dtype), (h, w))
@@ -45,16 +48,16 @@ class RGBGenerator(nn.Module):
         res_cls = (nn.remat(ResBottleneck, static_argnums=(2,))
                    if self.remat else ResBottleneck)
         for i in range(self.n_res // 2):
-            x = res_cls(N_CH[5] * 2 + 1, dtype=self.dtype,
+            x = res_cls(N_CH[5] * 2 + 1, fold_bn=self.fold_bn, dtype=self.dtype,
                               name=f"res{i}")(x, train)
 
-        y = ConvTBlock(N_CH[3] * 2, dtype=self.dtype, name="up1")(x, train)
-        y = ConvTBlock(N_CH[2] * 2, dtype=self.dtype, name="up2")(
+        y = ConvTBlock(N_CH[3] * 2, fold_bn=self.fold_bn, dtype=self.dtype, name="up1")(x, train)
+        y = ConvTBlock(N_CH[2] * 2, fold_bn=self.fold_bn, dtype=self.dtype, name="up2")(
             jnp.concatenate([y, x3], axis=3), train)
-        y = ConvTBlock(N_CH[1] * 2, dtype=self.dtype, name="up3")(
+        y = ConvTBlock(N_CH[1] * 2, fold_bn=self.fold_bn, dtype=self.dtype, name="up3")(
             jnp.concatenate([y, x2], axis=3), train)
         y = ConvBlock(3, ksize=7, norm=None, act=False, s2d=self.s2d_convs,
-                      dtype=self.dtype, name="conv2")(y, train)
+                      fold_bn=self.fold_bn, dtype=self.dtype, name="conv2")(y, train)
         con = ConvBlock(3, ksize=7, norm=None, act=False, s2d=self.s2d_convs,
-                        dtype=self.dtype, name="conv3")(y, train)
-        return con.astype(jnp.float32)
+                        fold_bn=self.fold_bn, dtype=self.dtype, name="conv3")(y, train)
+        return con.astype(self.egress_dtype)

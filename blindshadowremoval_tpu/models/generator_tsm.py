@@ -84,7 +84,10 @@ class TSMGenerator(nn.Module):
     int8_head: bool = False   # serve the 7x7 output head int8 (see generator.py)
     int8_head_scale: float | tuple = 0.0  # static bound(s) (see generator.py)
     s2d_convs: bool = False   # space-to-depth 7x7 convs (see generator.py)
+    fold_bn: bool = False     # serving: BatchNorms folded into the convs
+                              # (models/folding.py; see generator.py)
     dtype: Any = jnp.float32
+    egress_dtype: Any = jnp.float32   # output-image dtype (see generator.py)
 
     @nn.compact
     def __call__(self, inputs: jax.Array, uv: jax.Array, reg: jax.Array, *,
@@ -92,10 +95,10 @@ class TSMGenerator(nn.Module):
         x = inputs.astype(self.dtype)
 
         x1 = ConvBlock(N_CH[0], ksize=7, s2d=self.s2d_convs,
-                       dtype=self.dtype, name="conv1")(x, train)
-        x2 = ConvBlock(N_CH[1], stride=2, dtype=self.dtype, name="down1")(x1, train)
-        x3 = ConvBlock(N_CH[2], stride=2, dtype=self.dtype, name="down2")(x2, train)
-        x = ConvBlock(N_CH[3], stride=2, dtype=self.dtype, name="down3")(x3, train)
+                       fold_bn=self.fold_bn, dtype=self.dtype, name="conv1")(x, train)
+        x2 = ConvBlock(N_CH[1], stride=2, fold_bn=self.fold_bn, dtype=self.dtype, name="down1")(x1, train)
+        x3 = ConvBlock(N_CH[2], stride=2, fold_bn=self.fold_bn, dtype=self.dtype, name="down2")(x2, train)
+        x = ConvBlock(N_CH[3], stride=2, fold_bn=self.fold_bn, dtype=self.dtype, name="down3")(x3, train)
         _, h, w, _ = x.shape
 
         uv_small = resize_bilinear(uv.astype(self.dtype), (h, w))
@@ -105,19 +108,19 @@ class TSMGenerator(nn.Module):
         res_cls = (nn.remat(ResBottleneck, static_argnums=(2,))
                    if self.remat else ResBottleneck)
         for i in range(self.n_res // 2):
-            x = res_cls(N_CH[5] + 1, dtype=self.dtype,
+            x = res_cls(N_CH[5] + 1, fold_bn=self.fold_bn, dtype=self.dtype,
                               name=f"res{i}")(x, train)
 
-        y = ConvTBlock(N_CH[3], dtype=self.dtype, name="up1")(x, train)
-        y = ConvTBlock(N_CH[2], dtype=self.dtype, name="up2")(
+        y = ConvTBlock(N_CH[3], fold_bn=self.fold_bn, dtype=self.dtype, name="up1")(x, train)
+        y = ConvTBlock(N_CH[2], fold_bn=self.fold_bn, dtype=self.dtype, name="up2")(
             jnp.concatenate([y, x3], axis=3), train)
-        y = ConvTBlock(N_CH[1], dtype=self.dtype, name="up3")(
+        y = ConvTBlock(N_CH[1], fold_bn=self.fold_bn, dtype=self.dtype, name="up3")(
             jnp.concatenate([y, x2], axis=3), train)
         # conv2/conv3 heads fused into one 2-channel conv (see generator.py)
         head = ConvBlock(2, ksize=7, norm=None, act=False,
                          quant_int8=self.int8_head, s2d=self.s2d_convs,
                          quant_scale=self.int8_head_scale,
-                         dtype=self.dtype, name="head")(y, train)
+                         fold_bn=self.fold_bn, dtype=self.dtype, name="head")(y, train)
         mask = jnp.tanh(head[..., 0:1])
         con = head[..., 1:2]
 
@@ -134,20 +137,21 @@ class TSMGenerator(nn.Module):
         x_share = share_layer(x_hole, reg, frame, share)
         x = jnp.concatenate([x_hole, bmask, x_share, uv_small], axis=3)
         for i in range(self.n_res // 2, self.n_res):
-            x = res_cls(N_CH[5] + 1, dtype=self.dtype,
+            x = res_cls(N_CH[5] + 1, fold_bn=self.fold_bn, dtype=self.dtype,
                               name=f"res{i}")(x, train)
 
-        f = ConvTBlock(N_CH[4], dtype=self.dtype, name="clr_up1")(x, train)
-        f = ConvTBlock(N_CH[3], dtype=self.dtype, name="clr_up2")(f, train)
-        f = ConvTBlock(N_CH[2], dtype=self.dtype, name="clr_up3")(f, train)
-        con_rgb = ConvBlock(16, ksize=3, dtype=self.dtype, name="clr_conv1")(
+        f = ConvTBlock(N_CH[4], fold_bn=self.fold_bn, dtype=self.dtype, name="clr_up1")(x, train)
+        f = ConvTBlock(N_CH[3], fold_bn=self.fold_bn, dtype=self.dtype, name="clr_up2")(f, train)
+        f = ConvTBlock(N_CH[2], fold_bn=self.fold_bn, dtype=self.dtype, name="clr_up3")(f, train)
+        con_rgb = ConvBlock(16, ksize=3, fold_bn=self.fold_bn, dtype=self.dtype, name="clr_conv1")(
             jnp.concatenate([gs, f], axis=3), train)
-        con_rgb = ConvBlock(16, ksize=1, dtype=self.dtype,
+        con_rgb = ConvBlock(16, ksize=1, fold_bn=self.fold_bn, dtype=self.dtype,
                             name="clr_conv2")(con_rgb, train)
         con_rgb = ConvBlock(3, ksize=1, norm=None, act=False,
-                            dtype=self.dtype, name="clr_conv3")(con_rgb, train)
+                            fold_bn=self.fold_bn, dtype=self.dtype, name="clr_conv3")(con_rgb, train)
 
-        dif_out = (rgb_to_grayscale(con_rgb.astype(jnp.float32))
-                   - rgb_to_grayscale(inputs.astype(jnp.float32)))
-        return (gs.astype(jnp.float32), con_rgb.astype(jnp.float32),
-                mask22.astype(jnp.float32), dif_out)
+        et = self.egress_dtype
+        dif_out = (rgb_to_grayscale(con_rgb.astype(et))
+                   - rgb_to_grayscale(inputs.astype(et)))
+        return (gs.astype(et), con_rgb.astype(et),
+                mask22.astype(et), dif_out.astype(et))

@@ -69,17 +69,21 @@ def build_generator(config: Config, axis_name: Optional[str] = None):
     int8_head = getattr(config, "int8_head", False)
     s2d = getattr(config, "s2d_convs", False)
     head_scale = getattr(config, "int8_head_scale", 0.0)
+    fold_bn = getattr(config, "fold_bn", False)
+    egress = jnp.dtype(getattr(config, "egress_dtype", "float32"))
     if config.variant == "tsm":
         return TSMGenerator(n_res=config.n_res, axis_name=axis_name,
                             remat=config.remat, int8_head=int8_head,
-                            int8_head_scale=head_scale,
-                            s2d_convs=s2d, dtype=dtype)
+                            int8_head_scale=head_scale, fold_bn=fold_bn,
+                            s2d_convs=s2d, dtype=dtype, egress_dtype=egress)
     if config.variant == "rgb":
         return RGBGenerator(n_res=config.n_res, remat=config.remat,
-                            s2d_convs=s2d, dtype=dtype)
+                            fold_bn=fold_bn, s2d_convs=s2d, dtype=dtype,
+                            egress_dtype=egress)
     return GSCGenerator(n_res=config.n_res, remat=config.remat,
                         int8_head=int8_head, int8_head_scale=head_scale,
-                        s2d_convs=s2d, dtype=dtype)
+                        fold_bn=fold_bn, s2d_convs=s2d, dtype=dtype,
+                        egress_dtype=egress)
 
 
 @dataclasses.dataclass(eq=False)   # identity hash: instance is a static jit arg
