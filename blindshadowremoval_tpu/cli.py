@@ -117,6 +117,25 @@ def build_parser():
                    help="fetch/print losses every N steps; each fetch syncs "
                         "the device (one ~40 ms tunnel roundtrip on remote "
                         "TPU), so raise this to keep the step pipeline full")
+    p.add_argument("--vgg-weights", default=None,
+                   help="npz of pretrained VGG-19 weights for the perceptual "
+                        "loss (tools/convert_vgg_weights.py converts the "
+                        "Keras ImageNet h5). Without it the perceptual term "
+                        "uses a RANDOM-init VGG — a valid feature loss, but "
+                        "not the reference's (train_test_GSC.py:128)")
+    p.add_argument("--select-best", action="store_true",
+                   help="after each epoch, probe quality on a UCB subset "
+                        "(fused eval, 1 view) and retain the best-by-PSNR "
+                        "checkpoint under <ckpt>/best — long runs cannot "
+                        "silently regress past their best eval score. "
+                        "Needs --probe-data and --probe-part-masks")
+    p.add_argument("--probe-data", default=None,
+                   help="UCB input image glob for the --select-best probe")
+    p.add_argument("--probe-part-masks", default=None,
+                   help="root containing the UCB_input_images_* dirs for "
+                        "the --select-best probe")
+    p.add_argument("--probe-images", type=int, default=20,
+                   help="images in the --select-best probe subset")
     _add_common(p)
 
     p = sub.add_parser("preprocess",
@@ -190,6 +209,13 @@ def main(argv=None):
             learning_rate=args.lr,
             log_every_steps=args.log_every,
             device_geometry=args.device_geometry)
+        if args.select_best:
+            if not (args.probe_data and args.probe_part_masks):
+                print("--select-best needs --probe-data and "
+                      "--probe-part-masks", file=sys.stderr)
+                return 2
+            overrides.update(data_dirs_test=(args.probe_data,),
+                             part_mask_root=args.probe_part_masks)
     else:
         overrides["data_dirs_test"] = (args.data,)
         if getattr(args, "eval_views", None) is not None:
@@ -309,10 +335,20 @@ def run_train(cfg, args):
 
     from blindshadowremoval_tpu.data.dataset import Dataset
     from blindshadowremoval_tpu.train.loop import fit
+    from blindshadowremoval_tpu.train.trainer import Trainer
 
+    vgg_weights = None
+    if getattr(args, "vgg_weights", None):
+        from blindshadowremoval_tpu.models.vgg import load_weights_npz
+
+        vgg_weights = load_weights_npz(args.vgg_weights)
+        print(f"Perceptual loss: pretrained VGG-19 from {args.vgg_weights}")
+    trainer = Trainer.shared(cfg, vgg_weights)
     ds_train = Dataset(cfg, "train", seed=args.seed)
     ds_val = Dataset(cfg, "val", seed=args.seed + 1) if cfg.data_dirs_val else None
-    fit(cfg, ds_train, ds_val)
+    fit(cfg, ds_train, ds_val, trainer=trainer,
+        select_best=getattr(args, "select_best", False),
+        probe_images=getattr(args, "probe_images", 20))
     return 0
 
 

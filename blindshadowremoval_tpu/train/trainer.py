@@ -110,14 +110,14 @@ class Trainer:
         class docstring), a second Trainer built from an equal config pays
         the full train_step compile again — 2.5-10 min per step variant on
         a remote-attached TPU.  This constructor makes reuse the default;
-        instances with explicit `vgg_weights` (an unhashable pytree) are
-        not cached.
+        explicit `vgg_weights` (an unhashable pytree) are cached by object
+        identity — the cache entry keeps the weights alive, so the id
+        cannot be recycled while the key exists.
         """
-        if vgg_weights is not None:
-            return cls(config, vgg_weights)
-        t = _SHARED_TRAINERS.get(config)
+        key = (config, id(vgg_weights)) if vgg_weights is not None else config
+        t = _SHARED_TRAINERS.get(key)
         if t is None:
-            t = _SHARED_TRAINERS[config] = cls(config)
+            t = _SHARED_TRAINERS[key] = cls(config, vgg_weights)
         return t
 
     def __post_init__(self):
@@ -148,6 +148,17 @@ class Trainer:
         if self.vgg_weights is not None:
             vparams = freeze(self.vgg_weights)["params"]
         else:
+            if cfg.mode == "train":
+                import sys
+
+                print(
+                    "WARNING: no pretrained VGG-19 weights supplied — the "
+                    "perceptual loss uses a RANDOM-init backbone (a valid "
+                    "random-projection feature loss, but NOT the "
+                    "reference's ImageNet-VGG loss). Convert the Keras h5 "
+                    "with tools/convert_vgg_weights.py and pass "
+                    "--vgg-weights / Trainer.shared(cfg, vgg_weights).",
+                    file=sys.stderr, flush=True)
             vparams = self.vgg.init(
                 kv, jnp.zeros((1, s, s, 3), jnp.float32))["params"]
 
