@@ -430,7 +430,13 @@ class Dataset:
 
         Each worker thread owns an independent np.random.Generator spawned
         from the dataset seed (Generator is not thread-safe, and a shared
-        one would also make streams depend on thread scheduling)."""
+        one would also make streams depend on thread scheduling).
+
+        The pool lives exactly as long as the iterator: dropping the
+        iterator (or calling .close() on it) triggers the generator's
+        finally block, which cancels queued parses and releases the worker
+        threads — long-lived processes that build many Datasets (eval
+        services that also train, notebooks) do not accumulate pools."""
         n_workers = max(2, min(os.cpu_count() or 1, 16))
         pool = _futures.ThreadPoolExecutor(max_workers=n_workers)
         spawner = iter(np.random.SeedSequence(self.seed).spawn(n_workers * 4))
@@ -446,13 +452,16 @@ class Dataset:
             d = self.name_list[int(rng.integers(0, len(self.name_list)))]
             return self.parse_train(d, rng=rng)
 
-        pending = [pool.submit(sample) for _ in range(2 * n_workers)]
-        idx = 0
-        while True:
-            result = pending[idx].result()
-            pending[idx] = pool.submit(sample)
-            idx = (idx + 1) % len(pending)
-            yield result
+        try:
+            pending = [pool.submit(sample) for _ in range(2 * n_workers)]
+            idx = 0
+            while True:
+                result = pending[idx].result()
+                pending[idx] = pool.submit(sample)
+                idx = (idx + 1) % len(pending)
+                yield result
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
 
     def _test_iter(self):
         for name in self.name_list:

@@ -9,6 +9,10 @@ subprocess whose env *poisons* the default platform, proving the preamble
 (and the package imports it precedes) never instantiate a non-CPU backend.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow   # subprocess dryrun_multichip full-step compile
+
 import os
 import subprocess
 import sys

@@ -7,6 +7,10 @@ and runs one full GAN train step; losses must be finite and EXACTLY equal
 across hosts (they are global reductions over the same sharded computation).
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow   # spawns a 2-process jax.distributed run (~4 min)
+
 import json
 import os
 import socket

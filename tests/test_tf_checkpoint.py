@@ -18,6 +18,8 @@ from blindshadowremoval_tpu.models.tf_checkpoint import (
     _tree_get,
 )
 
+pytestmark = pytest.mark.slow   # imports TensorFlow to read ckpt indexes
+
 _LOG = ("/root/reference/log/FSR-OG-perlin-mask-OG-loss-weights-l1-recon-"
         "fix-BGR-to-RGB-fix-VGG-greater-augmentation-reweight-gradients")
 CKPT = _LOG + "/ckpt-94"

@@ -21,6 +21,8 @@ from blindshadowremoval_tpu.models.generator import GSCGenerator
 from blindshadowremoval_tpu.models.tf_checkpoint import (
     generator_mapping, load_weights_dict, synthetic_tf_weights)
 
+pytestmark = pytest.mark.slow   # imports TensorFlow and runs the TF model
+
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens", "tf_ref")
 SIZE = 128          # must match tools/make_tf_ref_goldens.py
 INPUT_SEED = 123

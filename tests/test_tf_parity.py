@@ -10,6 +10,8 @@ so everything shares one module-scoped fixture; deselect with
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow   # imports TensorFlow for op-level oracles
+
 tf = pytest.importorskip("tensorflow")
 
 import jax.numpy as jnp  # noqa: E402

@@ -33,6 +33,8 @@ from blindshadowremoval_tpu.models.generator import GSCGenerator
 from blindshadowremoval_tpu.models.tf_checkpoint import (
     generator_mapping, load_weights_dict, synthetic_tf_weights)
 
+pytestmark = pytest.mark.slow   # reference-golden e2e pipelines (~2 min)
+
 GOLDEN = os.path.join(os.path.dirname(__file__), "goldens", "tf_ref",
                       "e2e_eval.npz")
 REF = "/root/reference"

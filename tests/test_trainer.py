@@ -8,6 +8,8 @@ import pytest
 from blindshadowremoval_tpu.config import get_config
 from blindshadowremoval_tpu.train.trainer import Trainer
 
+pytestmark = pytest.mark.slow   # full train-step compiles (~6 min on 1 core)
+
 S = 64
 
 
