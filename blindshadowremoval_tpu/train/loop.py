@@ -9,6 +9,7 @@ jitted G+D update.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import time
 from typing import Optional
@@ -40,9 +41,58 @@ def _next_batch(feed, batch_size: int) -> dict:
             for k in views[0]}
 
 
+class _UCBProbe:
+    """Per-epoch UCB-subset quality probe for best-checkpoint selection.
+
+    A tiny version of the real UCB eval (the reference's `test()`,
+    train_test_GSC.py:360-748): `n_images` anchor images at `eval_views=1`
+    through the fused single-device-call eval step, mean PSNR out.  Eval
+    batches and part masks are parsed once and cached; the evaluator (and
+    so the fused jitted step) is built once and only its variables swap per
+    epoch — the probe costs one compile on first use, then ~n_images
+    device calls per epoch.
+    """
+
+    def __init__(self, config: Config, n_images: int = 20):
+        from blindshadowremoval_tpu.data.dataset import Dataset
+        from blindshadowremoval_tpu.eval.evaluators import UCBEvaluator
+
+        probe_cfg = dataclasses.replace(
+            config, mode="ucb", eval_views=1, fold_bn=False,
+            int8_head=False, egress_dtype="float32")
+        if not probe_cfg.data_dirs_test or not probe_cfg.part_mask_root:
+            raise ValueError(
+                "select_best needs config.data_dirs_test (UCB input glob) "
+                "and config.part_mask_root (the UCB_input_images_* parent) "
+                "to run the quality probe")
+        ds = Dataset(probe_cfg, "test")
+        self._ev = UCBEvaluator(probe_cfg, variables=None)
+        self._batches = []
+        it = iter(ds)
+        for i in range(min(n_images, len(ds.name_list))):
+            batch, box, name = next(it)
+            parts = self._ev._load_part_masks(probe_cfg.part_mask_root, i)
+            self._batches.append((batch, box, name, parts))
+
+    def __call__(self, state) -> float:
+        self._ev.variables = {"params": state.gen_params,
+                              "batch_stats": state.gen_stats}
+        psnrs = [self._ev.run_one_fused(b, box, name, parts)["psnr"]
+                 for b, box, name, parts in self._batches]
+        return float(sum(psnrs) / len(psnrs))
+
+
 def fit(config: Config, dataset_train, dataset_val=None,
-        trainer: Optional[Trainer] = None, seed: int = 0):
-    """Run the full training schedule; returns the final TrainState."""
+        trainer: Optional[Trainer] = None, seed: int = 0,
+        select_best: bool = False, probe_images: int = 20):
+    """Run the full training schedule; returns the final TrainState.
+
+    With `select_best=True`, every epoch additionally runs a UCB-subset
+    quality probe (`probe_images` images, eval_views=1, fused eval) and
+    retains the best-by-PSNR checkpoint under `<checkpoint_dir>/best`
+    (CheckpointManager.save_best) — so a long run cannot silently regress
+    past its best eval score while train losses keep improving (the
+    documented 11k-step case, docs/demo/README.md)."""
     trainer = trainer or Trainer.shared(config)
     key = jax.random.PRNGKey(seed)
     state = trainer.init_state(key)
@@ -57,6 +107,10 @@ def fit(config: Config, dataset_train, dataset_val=None,
                       config.txt_log_freq, config.fig_size)
     feed = iter(dataset_train)
     feed_val = iter(dataset_val) if dataset_val is not None else None
+    # build the probe eagerly so a misconfigured select_best fails before
+    # the first epoch, not after it (batches parse on host; the fused eval
+    # step compiles at the first probe call)
+    probe = _UCBProbe(config, probe_images) if select_best else None
 
     # the loop owns the state exclusively, so donate it: the old TrainState
     # (~250 MB of params + Adam moments) is reused in place instead of
@@ -82,6 +136,13 @@ def fit(config: Config, dataset_train, dataset_val=None,
                                   figs["gs"], figs["mask_edge"]], True)
 
         mgr.save(epoch + 1, state)
+        if probe is not None:
+            p = probe(state)
+            updated = mgr.save_best(epoch + 1, state, p)
+            rec = mgr.best_record()
+            print(f"probe: UCB-{len(probe._batches)} mean PSNR {p:.2f} dB"
+                  + (" -> new best retained" if updated else
+                     f" (best {rec['metric']:.2f} @ epoch {rec['step']})"))
         if feed_val is not None:
             for step in range(config.steps_per_epoch // 10):
                 batch = _next_batch(feed_val, config.batch_size)

@@ -10,6 +10,7 @@ resume-from-latest contract.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any, Optional
 
@@ -17,7 +18,15 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    """Thin Orbax wrapper: save(step, state) / restore_latest(template)."""
+    """Thin Orbax wrapper: save(step, state) / restore_latest(template).
+
+    Besides the rolling latest-N set (the resume contract), an optional
+    best-by-metric slot lives under `<dir>/best`: `save_best(step, state,
+    metric)` keeps the single highest-metric checkpoint, so long runs cannot
+    silently regress past their best validation score (the reference keeps
+    only the rolling window, train_test_GSC.py:187 — and the 11k-step demo
+    documented in docs/demo/README.md regressed 19.04 -> 17.59 dB that way).
+    """
 
     def __init__(self, directory: str, max_to_keep: int = 5):
         self.directory = os.path.abspath(directory)
@@ -27,6 +36,55 @@ class CheckpointManager:
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep, create=True),
         )
+        self._best_mgr: Optional[ocp.CheckpointManager] = None
+
+    # ------------------------------------------------------------- best
+    @property
+    def _best_meta_path(self) -> str:
+        return os.path.join(self.directory, "best_metric.json")
+
+    def best_record(self) -> Optional[dict]:
+        """{'step': int, 'metric': float} of the retained best, or None."""
+        try:
+            with open(self._best_meta_path) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def _best(self) -> ocp.CheckpointManager:
+        if self._best_mgr is None:
+            self._best_mgr = ocp.CheckpointManager(
+                os.path.join(self.directory, "best"),
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=1, create=True),
+            )
+        return self._best_mgr
+
+    def save_best(self, step: int, state: Any, metric: float) -> bool:
+        """Retain `state` under <dir>/best iff `metric` beats the record.
+
+        Returns True when the best slot was updated.  The metric survives
+        restarts (best_metric.json), so a resumed run keeps comparing
+        against the all-time best, not just this process's."""
+        rec = self.best_record()
+        if rec is not None and metric <= rec["metric"]:
+            return False
+        best = self._best()
+        best.save(step, args=ocp.args.StandardSave(state))
+        best.wait_until_finished()
+        with open(self._best_meta_path, "w") as f:
+            json.dump({"step": step, "metric": float(metric)}, f)
+        return True
+
+    def restore_best(self, template: Any) -> tuple[Any, int]:
+        """Restore the best-by-metric checkpoint; (template, 0) if none."""
+        rec = self.best_record()
+        if rec is None:
+            return template, 0
+        best = self._best()
+        restored = best.restore(
+            rec["step"], args=ocp.args.StandardRestore(template))
+        return restored, rec["step"]
 
     def save(self, step: int, state: Any, wait: bool = False) -> None:
         self._mgr.save(step, args=ocp.args.StandardSave(state))
@@ -51,3 +109,5 @@ class CheckpointManager:
 
     def close(self):
         self._mgr.close()
+        if self._best_mgr is not None:
+            self._best_mgr.close()
