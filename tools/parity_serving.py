@@ -1,0 +1,149 @@
+"""Final-output parity of serving configurations vs the f32 eval path.
+
+The headline bench (bench.py) must ride a configuration whose FINAL outputs
+— the in-the-wild deshadowed prediction and the UCB heuristic composite —
+hold >= 40 dB PSNR against the f32 TF-parity path on a TRAINED checkpoint.
+Head-output parity is not enough: the `dif > 0.1` hole binarization and the
+heuristic mask thresholds amplify small head deltas into different hole /
+component patterns (docs/perf.md "Quality context"), which is exactly what
+sank the round-2 int8 headline (~22 dB final-output).
+
+This tool restores a trained checkpoint once and scores each candidate
+serving configuration against the f32 reference configuration:
+
+  * in-the-wild (sample_imgs/02165, reference test_step_FFHQ analog):
+    PSNR of clip(con_rgb) and of the face-gated shadow map;
+  * UCB (train_test_GSC.py:360-748 protocol, N images): PSNR of the
+    heuristic composite, pixel disagreement of the detected mask, and the
+    delta of the reported PSNR metric itself.
+
+Usage:
+  python tools/parity_serving.py --ckpt runs/demo_gsc [--ucb-images 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF = "/root/reference"
+
+
+def psnr(a: np.ndarray, b: np.ndarray, peak: float = 1.0) -> float:
+    mse = float(np.mean((np.asarray(a, np.float64)
+                         - np.asarray(b, np.float64)) ** 2))
+    return 10 * np.log10(peak * peak / mse) if mse else 99.0
+
+
+# candidate serving configurations, applied as overrides on the eval config
+CONFIGS = {
+    "f32": dict(compute_dtype="float32", fold_bn=False,
+                egress_dtype="float32", int8_head=False),
+    "bf16": dict(compute_dtype="bfloat16", fold_bn=False,
+                 egress_dtype="float32", int8_head=False),
+    "bf16+fold+bf16egress": dict(compute_dtype="bfloat16", fold_bn=True,
+                                 egress_dtype="bfloat16", int8_head=False),
+    "bf16+fold+int8head": dict(compute_dtype="bfloat16", fold_bn=True,
+                               egress_dtype="bfloat16", int8_head=True,
+                               int8_head_scale=0.0),   # 0.0 = AUTO
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default="runs/demo_gsc")
+    ap.add_argument("--ucb-images", type=int, default=5)
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on the CPU backend instead of the TPU")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        from jax.extend import backend as _jeb
+
+        _jeb.clear_backends()
+
+    from blindshadowremoval_tpu.cli import _restore
+    from blindshadowremoval_tpu.config import get_config
+    from blindshadowremoval_tpu.data.dataset import Dataset
+    from blindshadowremoval_tpu.eval.evaluators import (
+        InTheWildEvaluator, UCBEvaluator)
+    from blindshadowremoval_tpu.models.folding import fold_batch_norm
+    from blindshadowremoval_tpu.ops.calibration import calibrate_config
+
+    base = get_config(
+        "ucb",
+        data_dirs_test=(os.path.join(REF, "UCB", "train", "input", "*"),),
+        checkpoint_dir=args.ckpt, compute_dtype="float32",
+        fold_bn=False, egress_dtype="float32", int8_head=False)
+    _, _, raw_vars, _, _ = _restore(base)   # live-BN f32 tree
+
+    # load the eval batches ONCE; reuse across configurations
+    ds_ucb = Dataset(base, "test")
+    ucb_batches = []
+    it = iter(ds_ucb)
+    ev0 = UCBEvaluator(base, raw_vars)
+    for i in range(args.ucb_images):
+        batch, box, name = next(it)
+        parts = ev0._load_part_masks(REF, i)
+        ucb_batches.append((batch, box, name, parts))
+
+    wild_cfg = dataclasses.replace(
+        base, data_dirs_test=(os.path.join(REF, "sample_imgs", "*"),))
+    ds_wild = Dataset(wild_cfg, "test")
+    wild = next(iter(ds_wild))
+
+    results = {}
+    for cname, overrides in CONFIGS.items():
+        cfg = dataclasses.replace(base, **overrides)
+        cfg = calibrate_config(cfg, raw_vars)
+        variables = fold_batch_norm(raw_vars) if cfg.fold_bn else raw_vars
+
+        ev = UCBEvaluator(cfg, variables)
+        ucb_out = [ev.run_one_fused(b, box, name, parts)
+                   for b, box, name, parts in ucb_batches]
+        evw = InTheWildEvaluator(
+            dataclasses.replace(wild_cfg, **overrides), variables)
+        wout = evw.run_one(*wild)
+        results[cname] = {"ucb": ucb_out, "wild": wout}
+        del ev, evw
+
+    ref = results["f32"]
+    report = {}
+    for cname in CONFIGS:
+        if cname == "f32":
+            continue
+        r = results[cname]
+        comp_psnr = [psnr(a["pred"], b["pred"])
+                     for a, b in zip(r["ucb"], ref["ucb"])]
+        mask_dis = [float(np.mean(a["detected"] != b["detected"]))
+                    for a, b in zip(r["ucb"], ref["ucb"])]
+        metric_delta = [abs(a["psnr"] - b["psnr"])
+                        for a, b in zip(r["ucb"], ref["ucb"])]
+        report[cname] = {
+            "wild_pred_psnr_db": round(
+                psnr(r["wild"]["pred"], ref["wild"]["pred"]), 1),
+            "wild_mask_psnr_db": round(
+                psnr(r["wild"]["mask_pred"], ref["wild"]["mask_pred"]), 1),
+            "ucb_composite_psnr_db_min": round(min(comp_psnr), 1),
+            "ucb_composite_psnr_db_mean": round(
+                float(np.mean(comp_psnr)), 1),
+            "ucb_detected_mask_disagree_max": round(max(mask_dis), 4),
+            "ucb_metric_psnr_delta_max_db": round(max(metric_delta), 3),
+        }
+        print(cname, json.dumps(report[cname]), flush=True)
+
+    print("\nJSON:", json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
