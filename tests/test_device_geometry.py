@@ -14,6 +14,10 @@ from blindshadowremoval_tpu.geometry.triangulation import (
     generate_uv_map,
 )
 
+import pytest
+
+pytestmark = pytest.mark.slow   # in-graph rasterizer + full-forward compiles
+
 S = 64
 
 

@@ -12,6 +12,8 @@ import pytest
 from blindshadowremoval_tpu.config import get_config
 from blindshadowremoval_tpu.data.dataset import Dataset, pack_views, unpack_views
 
+pytestmark = pytest.mark.slow   # evaluator forwards compile per protocol
+
 SAMPLE = "/root/reference/sample_imgs/02165"
 S = 64   # small eval resolution for CPU-speed tests
 

@@ -23,6 +23,8 @@ from blindshadowremoval_tpu.models.generator import GSCGenerator
 from blindshadowremoval_tpu.models.tf_checkpoint import (
     generator_mapping, load_weights_dict, synthetic_tf_weights)
 
+pytestmark = pytest.mark.slow   # fused eval graph compiles (fwd+heuristics+CC)
+
 REF = "/root/reference"
 needs_ref = pytest.mark.skipif(
     not os.path.isdir(os.path.join(REF, "UCB")), reason="reference data absent")

@@ -11,6 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow   # golden-fixture full-pipeline runs
+
 GOLDEN = os.path.join(os.path.dirname(__file__), "goldens", "goldens.npz")
 S = 64
 

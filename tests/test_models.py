@@ -19,6 +19,8 @@ from blindshadowremoval_tpu.models.generator import GSCGenerator
 from blindshadowremoval_tpu.models.generator_rgb import RGBGenerator
 from blindshadowremoval_tpu.models.generator_tsm import ShareLayer, TSMGenerator
 
+pytestmark = pytest.mark.slow   # full generator/discriminator compiles at 256^2
+
 S = 64  # tiny spatial size for fast tests (must be divisible by 8)
 
 

@@ -7,6 +7,10 @@ import numpy as np
 from blindshadowremoval_tpu.ops.quant import int8_conv, quantize_weight
 
 
+import pytest
+
+pytestmark = pytest.mark.slow   # int8 head variants compile the full forward
+
 def test_quantize_weight_roundtrip(rng):
     w = rng.normal(size=(3, 3, 8, 4)).astype(np.float32)
     wq, scale = quantize_weight(jnp.asarray(w))

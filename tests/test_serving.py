@@ -8,6 +8,8 @@ import pytest
 
 from blindshadowremoval_tpu.config import get_config
 
+pytestmark = pytest.mark.slow   # warm-path service compiles (batched fwd x configs)
+
 SAMPLE = "/root/reference/sample_imgs/02165"
 S = 64
 

@@ -9,6 +9,10 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from blindshadowremoval_tpu.parallel.mesh import batch_sharding, make_mesh
 
 
+import pytest
+
+pytestmark = pytest.mark.slow   # 8-virtual-device GAN-step + collective compiles
+
 def test_mesh_shapes():
     mesh = make_mesh((4, 2), ("data", "frame"))
     assert mesh.shape == {"data": 4, "frame": 2}
