@@ -65,6 +65,22 @@ class PostprocessParams:
     nose_veto_short: int = 5              # :661
     nose_veto_long: int = 65              # :663
     nose_veto_halfwidth: int = 35         # :661,663
+    eyebrow_edge_gate: bool = True        # the :558-572 block; a framework
+                                          # switch (the reference has no
+                                          # flag) so branch-liveness tests
+                                          # can disable it in isolation
+
+
+# Branch names ucb_postprocess can report (see the `report` parameter).
+GSC_BRANCHES = (
+    "mustache_suppress", "mouth_suppress",          # :480-497
+    "hair_threshold", "dark_hair", "forehead",      # :518-539
+    "mouth_band_0", "mouth_band_1", "mouth_band_2",  # :541-557
+    "eyebrow_edge",                                  # :558-572
+    "minfrac_drop", "hair_veto",                     # :599-611
+    "nose_band_0", "nose_band_1", "nose_band_2",     # :659
+    "nose_veto_short", "nose_veto_long",             # :661-663
+)
 
 
 # The TSM test_step's constants and stage set (train_with_TSM.py:420-617):
@@ -78,6 +94,12 @@ TSM_PARAMS = PostprocessParams(
     nose_frac_bands=((0.423, 0.425), (0.53, 0.56),
                      (0.35, 0.38), (0.58, 0.605)),
 )
+
+
+# sentinel scratch dict used when the caller asked for no report: branch
+# recording writes somewhere harmless and the costlier report-only probes
+# (the second filter_components pass) are skipped
+_NO_REPORT: dict = {}
 
 
 def _bbox(mask01: np.ndarray):
@@ -98,13 +120,24 @@ def ucb_postprocess(
     eye: np.ndarray,
     glasses: np.ndarray,
     params: PostprocessParams = PostprocessParams(),
+    report: dict | None = None,
 ):
-    """Returns (detected_mask (256,256,3) binary, cleaned mask_pred)."""
+    """Returns (detected_mask (256,256,3) binary, cleaned mask_pred).
+
+    Pass a dict as `report` to record which heuristic branches fired (keys
+    from GSC_BRANCHES).  Scalar gates (the mouth-fraction and nose-fraction
+    bands, the veto reach) report their control-flow condition; the masked
+    threshold assignments (hair/dark-hair/forehead/eyebrow-edge) report
+    whether the assignment flipped the detection outcome at any pixel —
+    an assignment that touches no decisive pixel did not "fire" in any
+    observable sense.  The branch-coverage goldens
+    (tests/test_branch_goldens.py) are built on this instrumentation."""
     del eye, glasses  # loaded for API parity; reference's uses are commented out
     p = params
     s = mask_pred.shape[0]
     mask_pred = np.array(mask_pred * face_hair, copy=True)
     intensity = np.repeat(input_img.mean(axis=2, keepdims=True), 3, axis=2)
+    rep = report if report is not None else _NO_REPORT
 
     # --- mustache / mouth suppression (:480-497) ----------------------
     nose_box = _bbox(nose[..., 0])
@@ -114,11 +147,18 @@ def ucb_postprocess(
         mustache = np.zeros_like(mask_pred)
         mustache[int(mid_nose_h):int(mouth_box[0]),
                  int(mouth_box[2]):int(mouth_box[3])] = 1
-        mask_pred *= ~((mask_pred < p.mustache_prob) & (mustache == 1))
+        zap = (mask_pred < p.mustache_prob) & (mustache == 1)
+        # "fired" = a suppressed pixel would otherwise have been detected
+        rep["mustache_suppress"] = bool(
+            np.any(zap & (mask_pred > p.base_threshold)))
+        mask_pred *= ~zap
         mouth_region = np.zeros_like(mask_pred)
         mouth_region[int(mouth_box[0]):int(mouth_box[1]),
                      int(mouth_box[2]):int(mouth_box[3])] = 1
-        mask_pred *= ~((mask_pred < p.mouth_prob) & (mouth_region == 1))
+        zap = (mask_pred < p.mouth_prob) & (mouth_region == 1)
+        rep["mouth_suppress"] = bool(
+            np.any(zap & (mask_pred > p.base_threshold)))
+        mask_pred *= ~zap
 
     hair_region = face_hair - face_no_hair
 
@@ -128,10 +168,19 @@ def ucb_postprocess(
         # TSM protocol: flat base threshold only (train_with_TSM.py:495-517)
         detected = (mask_pred > threshold).astype(np.float32)
         return _components_and_nose(detected, mask_pred, input_img,
-                                    hair_region, nose, nose_box, p)
-    threshold[hair_region > 0] = p.hair_threshold
-    threshold[(hair_region > 0)
-              & (intensity < p.dark_hair_intensity)] = p.dark_hair_threshold
+                                    hair_region, nose, nose_box, p, rep)
+    hair = hair_region > 0
+    dark = hair & (intensity < p.dark_hair_intensity)
+    threshold[hair] = p.hair_threshold
+    threshold[dark] = p.dark_hair_threshold
+    # decision-flipping pixels: base says detected, hair threshold says not
+    # (hair_threshold > base raises the bar; dark_hair lowers it below base)
+    rep["hair_threshold"] = bool(np.any(
+        (hair & ~dark) & (mask_pred > p.base_threshold)
+        & (mask_pred <= p.hair_threshold)))
+    rep["dark_hair"] = bool(np.any(
+        dark & (mask_pred > p.dark_hair_threshold)
+        & (mask_pred <= p.base_threshold)))
 
     if eyebrow[..., 0].sum() > p.forehead_min_eyebrow:
         brow_box = _bbox(eyebrow[..., 0])
@@ -142,8 +191,11 @@ def ucb_postprocess(
             forehead = np.zeros((s, s, 3))
             forehead[int(fh_box[0] + 20):int(brow_box[0] - 40),
                      int(fh_box[2] + 40):int(fh_box[3] - 40)] = 1
-            threshold[(forehead > 0)
-                      & (intensity < p.forehead_intensity)] = p.forehead_threshold
+            fh_px = (forehead > 0) & (intensity < p.forehead_intensity)
+            threshold[fh_px] = p.forehead_threshold
+            rep["forehead"] = bool(np.any(
+                fh_px & (mask_pred > p.forehead_threshold)
+                & (mask_pred <= p.base_threshold)))
 
     # --- mouth-and-below false-positive bands (:541-557) --------------
     if mouth_box:
@@ -155,12 +207,15 @@ def ucb_postprocess(
         mnb = roi * input_img * over
         denom = (roi[..., 0] * over[..., 0]).sum()
         mean_mnb = mnb.mean(axis=2).sum() / max(denom, 1e-6)
-        for lo, hi, min_int in p.mouth_frac_bands:
-            if lo < frac < hi and (min_int is None or mean_mnb > min_int):
+        rep["mouth_frac"] = float(frac)
+        for k, (lo, hi, min_int) in enumerate(p.mouth_frac_bands):
+            fired = lo < frac < hi and (min_int is None or mean_mnb > min_int)
+            rep[f"mouth_band_{k}"] = fired
+            if fired:
                 threshold[roi > 0] = 1.0
 
     # --- left-eyebrow-at-face-edge gate (:558-572) --------------------
-    if eyebrow[..., 0].sum() > 0:
+    if p.eyebrow_edge_gate and eyebrow[..., 0].sum() > 0:
         brow_box = _bbox(eyebrow[..., 0])
         face_box = _bbox(face_no_hair[..., 0])
         if brow_box and face_box and (brow_box[2] - face_box[2]) == 0:
@@ -168,15 +223,18 @@ def ucb_postprocess(
             left = np.zeros((s, s, 3))
             left[:, 0:int(mid_face), :] = 1.0
             gate = eyebrow * left
-            threshold[(gate > 0) & (intensity > 0.1)] = 1.0
+            gate_px = (gate > 0) & (intensity > 0.1)
+            threshold[gate_px] = 1.0
+            rep["eyebrow_edge"] = bool(np.any(
+                gate_px & (mask_pred > p.base_threshold)))
 
     detected = (mask_pred > threshold).astype(np.float32)
     return _components_and_nose(detected, mask_pred, input_img, hair_region,
-                                nose, nose_box, p)
+                                nose, nose_box, p, rep)
 
 
 def _components_and_nose(detected, mask_pred, input_img, hair_region, nose,
-                         nose_box, p: PostprocessParams):
+                         nose_box, p: PostprocessParams, rep: dict):
     """Shared pipeline tail: connected components + nose veto."""
     # --- connected components (device kernel) (:585-611) --------------
     labels = label_components(jnp.asarray(detected[..., 0]))
@@ -187,6 +245,17 @@ def _components_and_nose(detected, mask_pred, input_img, hair_region, nose,
         jnp.asarray(p.min_frac_of_max),
         veto_region=jnp.asarray(hair_region[..., 0]),
         veto_max_overlap=jnp.asarray(p.hair_veto_overlap)))[..., None]
+    if rep is not _NO_REPORT:
+        # separate the two component-drop causes for the branch report:
+        # without the hair veto, any drop is the size filter; the veto's
+        # own effect is the remaining difference (one extra device call,
+        # reporting runs only)
+        kept_noveto = np.asarray(filter_components(
+            jnp.asarray(detected[..., 0]), labels,
+            jnp.asarray(p.min_frac_of_max)))[..., None]
+        rep["minfrac_drop"] = bool(
+            np.any(kept_noveto[..., 0] != detected[..., 0]))
+        rep["hair_veto"] = bool(np.any(kept != kept_noveto))
 
     # --- nose veto (:647-663) -----------------------------------------
     if nose_box:
@@ -196,9 +265,15 @@ def _components_and_nose(detected, mask_pred, input_img, hair_region, nose,
             max(nose[..., 0].sum(), 1e-6)
         mid_nose_h = (nose_box[0] + nose_box[1]) / 2.0
         mid_nose_w = (nose_box[2] + nose_box[3]) / 2.0
+        rep["nose_frac"] = float(frac_nose)
+        rep["nose_mean_int"] = float(mean_int)
+        for k, (lo, hi) in enumerate(p.nose_frac_bands):
+            rep[f"nose_band_{k}"] = bool(lo < frac_nose < hi)
         if any(lo < frac_nose < hi for lo, hi in p.nose_frac_bands):
-            reach = (p.nose_veto_short if mean_int < p.nose_dark_intensity
-                     else p.nose_veto_long)
+            short = mean_int < p.nose_dark_intensity
+            rep["nose_veto_short"] = bool(short)
+            rep["nose_veto_long"] = bool(not short)
+            reach = p.nose_veto_short if short else p.nose_veto_long
             kept[int(mid_nose_h):int(nose_box[1] + reach),
                  int(mid_nose_w - p.nose_veto_halfwidth):
                  int(mid_nose_w + p.nose_veto_halfwidth)] = 0

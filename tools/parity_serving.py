@@ -42,17 +42,39 @@ def psnr(a: np.ndarray, b: np.ndarray, peak: float = 1.0) -> float:
     return 10 * np.log10(peak * peak / mse) if mse else 99.0
 
 
-# candidate serving configurations, applied as overrides on the eval config
+# candidate serving configurations, applied as overrides on the eval config.
+# "precision" is jax.default_matmul_precision for the run — load-bearing on
+# TPU, where a float32 conv at DEFAULT precision executes as a SINGLE bf16
+# MXU pass (~1e-3 relative noise): the round-3 measurement showed even
+# exact-algebra f32 BN folding sitting at ~31 dB final-output parity at
+# DEFAULT, because that bf16-pass noise flips `dif > 0.1` hole pixels
+# (models/generator.py:113) just like any other perturbation.  True f32 on
+# TPU is "highest" (6-pass); "high" (bf16_3x, ~f32-grade dot products at 3
+# passes) is the fast near-exact tier.  The REFERENCE configuration is
+# f32 @ highest — the faithful port of the CPU TF-parity numerics.
 CONFIGS = {
     "f32": dict(compute_dtype="float32", fold_bn=False,
-                egress_dtype="float32", int8_head=False),
+                egress_dtype="float32", int8_head=False,
+                precision="highest"),
+    "f32+fold": dict(compute_dtype="float32", fold_bn=True,
+                     egress_dtype="float32", int8_head=False,
+                     precision="highest"),
+    "f32+fold@high": dict(compute_dtype="float32", fold_bn=True,
+                          egress_dtype="float32", int8_head=False,
+                          precision="high"),
+    "f32+fold@default": dict(compute_dtype="float32", fold_bn=True,
+                             egress_dtype="float32", int8_head=False,
+                             precision="default"),
     "bf16": dict(compute_dtype="bfloat16", fold_bn=False,
-                 egress_dtype="float32", int8_head=False),
+                 egress_dtype="float32", int8_head=False,
+                 precision="default"),
     "bf16+fold+bf16egress": dict(compute_dtype="bfloat16", fold_bn=True,
-                                 egress_dtype="bfloat16", int8_head=False),
+                                 egress_dtype="bfloat16", int8_head=False,
+                                 precision="default"),
     "bf16+fold+int8head": dict(compute_dtype="bfloat16", fold_bn=True,
                                egress_dtype="bfloat16", int8_head=True,
-                               int8_head_scale=0.0),   # 0.0 = AUTO
+                               int8_head_scale=0.0,   # 0.0 = AUTO
+                               precision="default"),
 }
 
 
@@ -97,23 +119,32 @@ def main():
         parts = ev0._load_part_masks(REF, i)
         ucb_batches.append((batch, box, name, parts))
 
-    wild_cfg = dataclasses.replace(
-        base, data_dirs_test=(os.path.join(REF, "sample_imgs", "*"),))
+    wild_cfg = get_config(
+        "in_the_wild",
+        data_dirs_test=(os.path.join(REF, "sample_imgs", "*"),),
+        checkpoint_dir=args.ckpt, compute_dtype="float32",
+        fold_bn=False, egress_dtype="float32", int8_head=False,
+        eval_views=1)
     ds_wild = Dataset(wild_cfg, "test")
     wild = next(iter(ds_wild))
 
     results = {}
     for cname, overrides in CONFIGS.items():
+        overrides = dict(overrides)
+        precision = overrides.pop("precision", "default")
         cfg = dataclasses.replace(base, **overrides)
         cfg = calibrate_config(cfg, raw_vars)
         variables = fold_batch_norm(raw_vars) if cfg.fold_bn else raw_vars
 
-        ev = UCBEvaluator(cfg, variables)
-        ucb_out = [ev.run_one_fused(b, box, name, parts)
-                   for b, box, name, parts in ucb_batches]
-        evw = InTheWildEvaluator(
-            dataclasses.replace(wild_cfg, **overrides), variables)
-        wout = evw.run_one(*wild)
+        # jit traces happen on first call, inside this context, so the
+        # ambient precision binds into every conv/matmul of the config
+        with jax.default_matmul_precision(precision):
+            ev = UCBEvaluator(cfg, variables)
+            ucb_out = [ev.run_one_fused(b, box, name, parts)
+                       for b, box, name, parts in ucb_batches]
+            evw = InTheWildEvaluator(
+                dataclasses.replace(wild_cfg, **overrides), variables)
+            wout = evw.run_one(*wild)
         results[cname] = {"ucb": ucb_out, "wild": wout}
         del ev, evw
 
