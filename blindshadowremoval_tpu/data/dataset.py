@@ -338,8 +338,11 @@ class Dataset:
 
     def parse_test_sfw(self, label_path: str) -> tuple[dict, np.ndarray]:
         """One SFW frame + mirrored twin with cmap + label mask
-        (dataset_with_TSM.py:225-287)."""
+        (dataset_with_TSM.py:225-287).  The GSC variant routes to its own
+        10-frame protocol (_parse_test_sfw_gsc)."""
         cfg = self.config
+        if cfg.variant == "gsc":
+            return self._parse_test_sfw_gsc(label_path)
         s = cfg.img_size
         stem = label_path[:-len("_label.png")]
         lm_path = stem + ".npy"
@@ -360,6 +363,51 @@ class Dataset:
         batch = {k: np.stack([v[k], view_m[k]]).astype(
                      np.int32 if k.endswith("_tris") else np.float32)
                  for k in v}
+        batch["cmap"] = batch["extra"][..., :3]
+        batch["label"] = batch["extra"][..., 3:4]
+        del batch["extra"]
+        return batch, np.asarray(box, np.float32)
+
+    def _parse_test_sfw_gsc(self, label_path: str) -> tuple[dict, np.ndarray]:
+        """The GSC variant's testsfw parse (dataset.py:338-614): 10
+        temporally spread frames, each carrying the ANCHOR's cmap + label
+        resized to the frame's raw resolution and cropped in that frame's
+        own geometry (the reference re-resizes the anchor's cmap/mask for
+        every frame — a no-op for constant-resolution videos).  The frame
+        schedule is the shared video spread, clamped to available frames
+        like parse_test_sfw_video (documented delta: the reference
+        `input()`-hangs on a missing frame, dataset.py:430-433)."""
+        import cv2
+
+        folder = os.path.dirname(label_path)
+        stem = os.path.basename(label_path)[:-len("_label.png")]
+        cmap = _imread_rgb(label_path[:-len(".png")] + "_cmap.png")
+        label = _imread_gray_raw(label_path)
+
+        avail = sorted(int(os.path.basename(p).split(".")[0])
+                       for p in _glob.glob(os.path.join(folder, "*.npy"))
+                       if os.path.basename(p).split(".")[0].isdigit())
+        lo, hi = (avail[0], avail[-1]) if avail else (0, 0)
+        frames = [min(max(fr, lo), hi)
+                  for fr in self.video_frame_schedule(int(stem))]
+        views, box = [], None
+        for fr in frames:
+            lm_path = os.path.join(folder, f"{fr}.npy")
+            raw = _imread_rgb(os.path.join(folder, f"{fr}.png"))
+            h, w = raw.shape[:2]
+            if cmap.shape[:2] != (h, w):
+                ex = np.concatenate(
+                    [cv2.resize(cmap, (w, h)),
+                     cv2.resize(label[..., 0], (w, h))[..., None]], axis=2)
+            else:
+                ex = np.concatenate([cmap, label], axis=2)
+            v, b, _ = self._test_view(lm_path, None, ex.astype(np.float32))
+            views.append(v)
+            if box is None:
+                box = b
+        batch = {k: np.stack([v[k] for v in views]).astype(
+                     np.int32 if k.endswith("_tris") else np.float32)
+                 for k in views[0]}
         batch["cmap"] = batch["extra"][..., :3]
         batch["label"] = batch["extra"][..., 3:4]
         del batch["extra"]

@@ -150,6 +150,46 @@ def test_sfw_auc_parity(golden, tmp_path_factory):
 
 
 @needs_ref
+def test_sfw_gsc_auc_parity(bridged_variables, tmp_path_factory):
+    """The GSC variant's own testsfw (train_test_GSC.py:799-838): its
+    protocol differs structurally from the TSM one — the dataset.py:338-614
+    parser ships 10 temporally spread frames (the anchor's cmap + label
+    riding each), the GSC forward runs with chuck=1 and no ShareLayer, and
+    metrics come from the anchor frame.  Fixture: e2e_sfw_gsc.npz
+    (tools/make_tf_ref_e2e_goldens.py --sfw-gsc), the reference's own
+    test_step_sfw on a 17-frame synthetic video under synthetic ckpt-94
+    weights."""
+    from blindshadowremoval_tpu.eval.evaluators import SFWEvaluator
+
+    golden = np.load(os.path.join(os.path.dirname(__file__), "goldens",
+                                  "tf_ref", "e2e_sfw_gsc.npz"))
+    sfw_dir = os.path.join(os.path.dirname(__file__), "goldens", "tf_ref",
+                           "sfw_gsc_synth")
+    cfg = get_config(
+        "sfw", variant="gsc", data_dirs_test=(os.path.join(sfw_dir, "*"),),
+        compute_dtype="float32",
+        checkpoint_dir=str(tmp_path_factory.mktemp("sfwgsc")))
+    ds = Dataset(cfg, "test", dset="sfw")
+    batch, box, name = next(iter(ds))
+    assert batch["img"].shape[0] == 10   # the 10-frame schedule
+
+    ev = SFWEvaluator(cfg, bridged_variables)
+    r = ev.run_one(batch, box, "sfwgsc0")
+
+    d_auc = abs(r["auc"] - float(golden["sfw_gsc_auc"]))
+    d_psnr = abs(r["psnr"] - float(golden["sfw_gsc_psnr"]))
+    d_ssim = abs(r["ssim"] - float(golden["sfw_gsc_ssim"]))
+    mask_psnr = _psnr(r["mask_pred"],
+                      np.asarray(golden["sfw_gsc_mask_pred"], np.float32))
+    print(f"sfw-gsc: dAUC {d_auc:.5f}, dPSNR {d_psnr:.4f}, "
+          f"dSSIM {d_ssim:.5f}, mask_pred parity {mask_psnr:.2f} dB")
+    assert d_auc <= 1e-3, f"AUC delta {d_auc}"
+    assert d_psnr <= 0.05, f"PSNR delta {d_psnr}"
+    assert d_ssim <= 0.005, f"SSIM delta {d_ssim}"
+    assert mask_psnr >= 40.0, f"mask_pred parity {mask_psnr:.2f} dB"
+
+
+@needs_ref
 def test_rgb_ucb_simple_composite_parity(tmp_path_factory):
     """The RGB ablation's UCB eval (train_RGB_test.py:357-505): there is no
     shadow-map head and NO heuristic detection — the raw prediction resizes

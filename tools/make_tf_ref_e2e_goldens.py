@@ -292,6 +292,70 @@ def make_sfw_golden(out):
           f"psnr={float(losses['psnr']):.2f} ssim={float(losses['ssim']):.4f}")
 
 
+def make_sfw_gsc_synth_data():
+    """17-frame SFW fixture WITH a frame-0 label, for the GSC testsfw
+    protocol (train_test_GSC.py:799-838 + the dataset.py:338-614 parser):
+    the anchor's 10-frame schedule spans frames 0..16, and the anchor's
+    cmap + label ride every frame.  Frames are the real 02165 face under a
+    deterministic brightness ramp; a deterministic 3-class label map
+    (shadow 2, penumbra 1, background 0) lives on the anchor only — one
+    `*_label.png` = one eval sample, matching the reference's flipped-glob
+    testsfw configuration (dataset.py:56 commented alternate)."""
+    import cv2
+
+    out_dir = os.path.join(OUT_DIR, "sfw_gsc_synth", "vid0")
+    os.makedirs(out_dir, exist_ok=True)
+    src = os.path.join(REF, "sample_imgs", "02165")
+    img = cv2.imread(os.path.join(src, "02165.png"))
+    lm = np.load(os.path.join(src, "02165.npy"))
+    for fr in range(17):
+        frame = np.clip(img.astype(np.float32) * (1.0 - 0.02 * fr),
+                        0, 255).astype(np.uint8)
+        cv2.imwrite(os.path.join(out_dir, f"{fr}.png"), frame)
+        np.save(os.path.join(out_dir, f"{fr}.npy"), lm)
+    label = np.zeros(img.shape[:2], np.uint8)
+    label[60:200, 60:200] = 1
+    label[80:160, 90:170] = 2
+    cv2.imwrite(os.path.join(out_dir, "0_label.png"), label)
+    cv2.imwrite(os.path.join(out_dir, "0_label_cmap.png"), img)
+    link = os.path.join(WORKDIR, "SFW_gsc_synth")
+    if not os.path.islink(link):
+        os.symlink(os.path.dirname(out_dir), link)
+
+
+def make_sfw_gsc_golden(tgs, refds, fsr, out):
+    """Drive the reference GSC testsfw path (train_test_GSC.py:799-838) on
+    the 17-frame fixture with the synthetic ckpt-94-contract weights.
+
+    The reference selects this protocol by source-editing: flipping the
+    test glob to `*_label.png` and the map to parse_fn_test_sfw
+    (dataset.py:56,67 commented alternates).  Rather than monkeypatching
+    the glob plumbing, the parser — an eager tf.numpy_function — is called
+    directly on the label path, which is exactly what the flipped pipeline
+    would feed it."""
+    config = tgs.Config(0)
+    config.CHECKPOINT_DIR = os.path.join(WORKDIR, "ckpt_unused_sfw_gsc")
+    ds = refds.Dataset.__new__(refds.Dataset)
+    ds.config = config
+    ds.mode = "test"
+    ds.dset = "sfw"
+    # one-element tf.data pipeline so the parser sees the same scalar-bytes
+    # input the reference's map() feeds it
+    feed = tf.data.Dataset.from_tensor_slices(
+        ["SFW_gsc_synth/vid0/0_label.png"]).map(ds.parse_fn_test_sfw)
+    img, box, _ = next(iter(feed))
+    losses, figs = fsr.test_step_sfw(img, box, training=False)
+    out["sfw_gsc_auc"] = np.float32(losses["auc"])
+    out["sfw_gsc_psnr"] = np.float32(losses["psnr"])
+    out["sfw_gsc_ssim"] = np.float32(losses["ssim"])
+    out["sfw_gsc_mask_pred"] = (np.asarray(figs[2])[0] / 2.0).astype(
+        np.float16)
+    out["sfw_gsc_pred"] = np.asarray(figs[1])[0].astype(np.float16)
+    print(f"sfw-gsc golden: auc={float(losses['auc']):.4f} "
+          f"psnr={float(losses['psnr']):.2f} "
+          f"ssim={float(losses['ssim']):.4f}")
+
+
 def make_sfw_video_synth_data():
     """17-frame synthetic video fixture for the sfw-video eval path.
 
@@ -586,6 +650,24 @@ def main():
         make_tsm_ucb_golden(out)
         np.savez_compressed(os.path.join(OUT_DIR, "e2e_tsm_ucb.npz"), **out)
         print("wrote e2e_tsm_ucb.npz:", sorted(out))
+        return
+
+    if "--sfw-gsc" in sys.argv:
+        # separate fixture file for the same reason as --rgb
+        import model as ref_model
+
+        patch_sharelayer(ref_model)
+        import dataset as refds
+        import train_test_GSC as tgs
+
+        config = tgs.Config(0)
+        config.CHECKPOINT_DIR = os.path.join(WORKDIR, "ckpt_unused")
+        fsr = build_fsrnet(tgs, config)
+        out = {}
+        make_sfw_gsc_synth_data()
+        make_sfw_gsc_golden(tgs, refds, fsr, out)
+        np.savez_compressed(os.path.join(OUT_DIR, "e2e_sfw_gsc.npz"), **out)
+        print("wrote e2e_sfw_gsc.npz:", sorted(out))
         return
 
     if "--video" in sys.argv:
