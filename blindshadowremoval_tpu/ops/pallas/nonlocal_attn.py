@@ -40,6 +40,13 @@ except Exception:  # pragma: no cover
 def _use_pallas(n: int, d: int, interpret: bool) -> bool:
     """One dispatch predicate shared by forward and backward so the two
     directions can never route to different kernels."""
+    # Mosaic cannot lower HIGH/HIGHEST dot precision; when the caller asks
+    # for a non-default ambient matmul precision (the quality-strict f32
+    # serving/parity configurations, tools/parity_serving.py), route to the
+    # XLA einsum path, which honors it
+    prec = jax.config.jax_default_matmul_precision
+    if prec is not None and str(prec).lower() != "default":
+        return False
     aligned = (n % 128 == 0) and (d % 128 == 0)
     return (pltpu is not None) and aligned and (
         interpret or jax.default_backend() == "tpu")

@@ -65,43 +65,49 @@ def golden():
 
 @pytest.fixture(scope="module")
 def pipeline(tmp_path_factory):
-    """Bridged synthetic-ckpt-94 evaluator + a per-image forward cache."""
-    gen = GSCGenerator()
-    z3 = np.zeros((1, 64, 64, 3), np.float32)
-    variables = gen.init(jax.random.PRNGKey(0), z3, z3,
-                         np.zeros((1, 64, 64, 6), np.float32))
-    weights = synthetic_tf_weights(variables, generator_mapping(), seed=0)
-    # identical tweak to the fixture generator — lift the RGB head bias so
-    # the shadow map has real positive structure
-    weights["generator/clr_conv3/conv/bias"] = (
-        weights["generator/clr_conv3/conv/bias"] + 0.5)
-    variables = load_weights_dict(weights, variables, generator_mapping())
-
+    """Bridged synthetic-ckpt-94 evaluators (one per RGB-head bias variant
+    used by the fixture) + a per-image forward cache."""
     cfg = get_config(
         "ucb",
         data_dirs_test=(os.path.join(REF, "UCB", "train", "input", "*"),),
         eval_views=1, compute_dtype="float32", part_mask_root=REF,
         checkpoint_dir=str(tmp_path_factory.mktemp("branch")))
-    ev = UCBEvaluator(cfg, variables)
     it = iter(Dataset(cfg, "test"))
-    state = {"next": 0, "cache": {}}
+    state = {"next": 0, "cache": {}, "evs": {}}
 
-    def prepped(idx: int, box):
-        """(pred, mp, tmp) for image idx, resized into the golden's box."""
+    def evaluator(bias: float) -> UCBEvaluator:
+        """UCBEvaluator under seed-0 synthetic weights with the RGB-head
+        bias lifted by `bias` — identical to the fixture generator."""
+        if bias not in state["evs"]:
+            gen = GSCGenerator()
+            z3 = np.zeros((1, 64, 64, 3), np.float32)
+            variables = gen.init(jax.random.PRNGKey(0), z3, z3,
+                                 np.zeros((1, 64, 64, 6), np.float32))
+            weights = synthetic_tf_weights(variables, generator_mapping(),
+                                           seed=0)
+            weights["generator/clr_conv3/conv/bias"] = (
+                weights["generator/clr_conv3/conv/bias"] + bias)
+            state["evs"][bias] = UCBEvaluator(cfg, load_weights_dict(
+                weights, variables, generator_mapping()))
+        return state["evs"][bias]
+
+    def prepped(idx: int, box, bias: float):
+        """(pred, mp, tmp) for image idx under the bias variant, resized
+        into the golden's box."""
         while state["next"] <= idx:
             batch, _, _ = next(it)
             state["cache"][state["next"]] = batch
             state["next"] += 1
         batch = state["cache"][idx]
         size = int(min(box[3] - box[1], 256))
-        _, rgb, _, mask_pred, _ = ev.forward(batch, frame=4)
+        _, rgb, _, mask_pred, _ = evaluator(bias).forward(batch, frame=4)
         tmp = _pad_to(_resize_np(batch["img"][0], size), 256)
         pred = _pad_to(_resize_np(np.clip(rgb[0], 0, 1), size), 256)
         mp = _pad_to(_resize_np(mask_pred[0], size), 256)
         mp = np.repeat(mp, 3, axis=2) if mp.shape[2] == 1 else mp
         return pred, mp, tmp, size
 
-    return ev, prepped
+    return evaluator, prepped
 
 
 def _heuristics(ev, mp, tmp, parts, size, params, report=None):
@@ -114,17 +120,19 @@ def _heuristics(ev, mp, tmp, parts, size, params, report=None):
 
 @needs_fixture
 def test_branch_golden_parity_and_coverage(golden, pipeline):
-    ev, prepped = pipeline
+    evaluator, prepped = pipeline
     case_ids = [str(c) for c in golden["case_ids"]]
     assert case_ids, "empty fixture"
     covered = set()
     for cid in case_ids:
         idx = int(golden[f"{cid}_image_idx"])
+        bias = float(golden[f"{cid}_bias"])
         box = np.asarray(golden[f"{cid}_box"], np.float32)
         rects = np.asarray(golden[f"{cid}_rects"], np.int32).reshape(-1, 6)
         branches = [str(b) for b in golden[f"{cid}_branches"]]
 
-        pred, mp, tmp, size = prepped(idx, box)
+        ev = evaluator(bias)
+        pred, mp, tmp, size = prepped(idx, box, bias)
         parts = ev._load_part_masks(REF, idx)
         if len(rects):
             parts = apply_rects(parts, rects)
@@ -138,7 +146,7 @@ def test_branch_golden_parity_and_coverage(golden, pipeline):
         mine = (detected[..., 0] > 0.5).astype(np.uint8)
         disagree = float(np.mean(mine != ref_detected))
         psnr_comp = _psnr(out, golden[f"{cid}_composite"])
-        print(f"{cid} (image {idx}, {len(rects)} rects): "
+        print(f"{cid} (image {idx}, bias {bias}, {len(rects)} rects): "
               f"disagree {disagree:.4f}, composite {psnr_comp:.2f} dB, "
               f"branches {branches}")
         assert disagree <= 0.01, f"{cid} detected mask {disagree:.4f}"

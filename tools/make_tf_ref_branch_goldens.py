@@ -41,7 +41,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # importing the e2e tool performs the jax-CPU + TF + shim setup
 from make_tf_ref_e2e_goldens import (  # noqa: E402
     OUT_DIR, REF, WORKDIR, build_fsrnet, patched_vgg19, setup_workdir)
-from make_tf_ref_goldens import patch_keras3_compat, patch_sharelayer  # noqa: E402
+from make_tf_ref_goldens import (  # noqa: E402
+    assign_weights, patch_keras3_compat, patch_sharelayer)
 
 import jax  # noqa: E402
 
@@ -73,9 +74,18 @@ def load_parts(mask_file: str) -> dict:
 # --------------------------------------------------------------- phase 2
 class OurPipeline:
     """This framework's UCB eval, factored so the forward runs once per
-    image and the (cheap, host-side) heuristics re-run per tweak."""
+    image and the (cheap, host-side) heuristics re-run per tweak.
 
-    def __init__(self, boxes):
+    `bias` is the RGB-head bias lift (dif ~ bias - gray + noise).  The e2e
+    default is 0.5; a second LOW-bias variant (~0.14) exists because two
+    gates are structurally unreachable under 0.5 — dark_hair wants dark
+    pixels (intensity < 0.13) with mask_pred in (0.004, 0.02], i.e.
+    gray ~ bias - 0.01, and forehead wants intensity < 0.4 pixels with
+    mask_pred in (-0.001, 0.01] — both empty when bias - gray puts every
+    dark pixel far above the band (measured: 0 qualifying pixels across 24
+    UCB images at bias 0.5)."""
+
+    def __init__(self, boxes, bias: float = 0.5):
         from blindshadowremoval_tpu.config import get_config
         from blindshadowremoval_tpu.data.dataset import Dataset
         from blindshadowremoval_tpu.eval.evaluators import UCBEvaluator
@@ -83,13 +93,14 @@ class OurPipeline:
         from blindshadowremoval_tpu.models.tf_checkpoint import (
             generator_mapping, load_weights_dict, synthetic_tf_weights)
 
+        self.bias = float(bias)
         gen = GSCGenerator()
         z3 = np.zeros((1, 64, 64, 3), np.float32)
         variables = gen.init(jax.random.PRNGKey(0), z3, z3,
                              np.zeros((1, 64, 64, 6), np.float32))
         weights = synthetic_tf_weights(variables, generator_mapping(), seed=0)
         weights["generator/clr_conv3/conv/bias"] = (
-            weights["generator/clr_conv3/conv/bias"] + 0.5)
+            weights["generator/clr_conv3/conv/bias"] + self.bias)
         variables = load_weights_dict(weights, variables, generator_mapping())
 
         cfg = get_config(
@@ -242,35 +253,93 @@ def cover_mouth_band(pipe, k, band, pool):
     return None
 
 
-def cover_nose_band(pipe, k, band, pool):
-    """Paint nose pixels leftward of the nose box over non-detected image
-    area: frac_nose's denominator grows, its numerator stays, sweeping it
-    down into the band.  Same rows as the real nose, so mid_nose_h (the
-    mustache box edge) is untouched."""
+def _clean_nose_columns(pipe, idx, darkest_first: bool = False):
+    """Candidate full-res columns for nose painting: within the nose's row
+    range, outside its column range, and DETECTION-FREE over those rows —
+    so painting them grows frac_nose's denominator monotonically while the
+    numerator stays put (mid_nose_h, the mustache-box edge, is a row
+    quantity and never moves).  Returns (r0, r1, ordered column list)."""
+    det, _, _ = pipe.run(idx)
+    _, mp, tmp, size, _ = pipe._prepped(idx)
+    parts = pipe.parts(idx)
+    nb = _bbox01(parts["nose"][..., 0])
+    if not nb:
+        return None
+    r0, r1 = int(nb[0]), int(nb[1]) + 1
+    sc = size / 256.0
+    rdet = np.clip((np.arange(r0, r1) * sc).astype(int), 0, 255)
+    cands = []
+    for c in range(256):
+        if int(nb[2]) <= c <= int(nb[3]):
+            continue
+        cdet = min(int(c * sc), 255)
+        col_det = det[rdet, cdet]
+        if np.any(col_det):
+            continue
+        inten = float(tmp[rdet, cdet].mean())
+        # order key: darkness (for the dark-nose veto) or proximity
+        prox = min(abs(c - int(nb[2])), abs(c - int(nb[3])))
+        cands.append((inten if darkest_first else prox, c))
+    cands.sort()
+    return r0, r1, [c for _, c in cands]
+
+
+def _cols_to_rects(cols, r0, r1, rows_n, area):
+    """First `area` pixels over the ordered clean columns as paint rects
+    (full columns + one partial column for pixel granularity)."""
+    key = PART_KEYS.index("nose")
+    ncols, rem = divmod(int(area), rows_n)
+    rects = [[key, r0, r1, c, c + 1, 1] for c in cols[:ncols]]
+    if rem and ncols < len(cols):
+        rects.append([key, r0, r0 + rem, cols[ncols], cols[ncols] + 1, 1])
+    return np.asarray(rects, np.int32).reshape(-1, 6)
+
+
+def cover_nose_band(pipe, k, band, pool, accept_branch=None):
+    """Drive frac_nose down into `band` by painting detection-free nose
+    columns (denominator-only growth => monotone), with pixel granularity.
+    `accept_branch` switches the fire/liveness test to a different branch
+    riding the same knob (the dark-nose veto), ordering candidate columns
+    darkest-first so mean_int sinks below nose_dark_intensity as the
+    fraction sweeps."""
+    branch = accept_branch or f"nose_band_{k}"
     for idx in pool:
-        parts = pipe.parts(idx)
-        nb = _bbox01(parts["nose"][..., 0])
-        if not nb:
+        cand = _clean_nose_columns(pipe, idx,
+                                   darkest_first=accept_branch is not None)
+        if cand is None:
             continue
-        r0, r1, c_edge = int(nb[0]), int(nb[1]) + 1, int(nb[2])
+        r0, r1, cols = cand
         rows_n = r1 - r0
-        if c_edge < 8:
+        if not cols:
             continue
 
-        def mk(area, r0=r0, r1=r1, c_edge=c_edge, rows_n=rows_n):
-            cols, rem = divmod(int(area), rows_n)
-            key = PART_KEYS.index("nose")
-            rects = []
-            if cols:
-                rects.append([key, r0, r1, c_edge - cols, c_edge, 1])
-            if rem:
-                rects.append([key, r0, r0 + rem, c_edge - cols - 1,
-                              c_edge - cols, 1])
-            return np.asarray(rects, np.int32).reshape(-1, 6)
+        def mk(area, cols=cols, r0=r0, r1=r1, rows_n=rows_n):
+            return _cols_to_rects(cols, r0, r1, rows_n, area)
 
-        rects = bisect_frac(pipe, idx, f"nose_band_{k}", "nose_frac",
-                            band, mk, (c_edge - 1) * rows_n)
+        rects = bisect_frac(pipe, idx, branch, "nose_frac",
+                            band, mk, len(cols) * rows_n)
         if rects is not None:
+            return idx, rects
+    return None
+
+
+def cover_nose_veto(pipe, want_short, pool):
+    """Cover nose_veto_short/long: synthesize a nose-band case (any band)
+    and accept it only when the wanted reach branch fires with output
+    effect.  Which reach fires is a property of the image (nose-region mean
+    intensity vs nose_dark_intensity), so this sweeps images until one with
+    the right darkness also lands in a band."""
+    from blindshadowremoval_tpu.eval.postprocess import PostprocessParams
+
+    params = PostprocessParams()
+    want = "nose_veto_short" if want_short else "nose_veto_long"
+    for k, band in enumerate(params.nose_frac_bands):
+        hit = cover_nose_band(pipe, k, band, pool,
+                              accept_branch=want if want_short else None)
+        if hit is None:
+            continue
+        idx, rects = hit
+        if pipe.live(idx, rects, want):
             return idx, rects
     return None
 
@@ -355,8 +424,13 @@ def cover_forehead(pipe, pool):
 
 
 def cover_hair_veto(pipe, pool):
-    """Paint hair (face_hair on, face_no_hair off) over >= 80% of one kept
-    component so the component filter's hair veto drops it."""
+    """Paint hair (face_hair on, face_no_hair off) over >= 80% of a kept
+    component so the component filter's hair veto drops it.  Largest
+    components first — under the e2e weights each image usually holds ONE
+    big blob, and painting its whole bbox is what flips the veto (pixels
+    with mask_pred > hair_threshold stay detected through the raised hair
+    threshold, so the blob survives to the component stage and then dies
+    on the 80% overlap test)."""
     import cv2
 
     for idx in pool:
@@ -365,10 +439,10 @@ def cover_hair_veto(pipe, pool):
             det.astype(np.uint8))
         pred_, mp, tmp, size, _ = pipe._prepped(idx)
         scale = 256.0 / size
-        comps = sorted(range(1, n), key=lambda c: stats[c, 4])
+        comps = sorted(range(1, n), key=lambda c: -stats[c, 4])
         for c in comps:
             x, y, w, h, area = stats[c]
-            if area < 20 or area > 4000:
+            if area < 20:
                 continue
             # component bbox back in full-res coordinates, with margin
             r0 = max(int(y * scale) - 4, 0)
@@ -384,8 +458,28 @@ def cover_hair_veto(pipe, pool):
     return None
 
 
-def select_cases(pipe):
-    """Greedy natural cover, then targeted synthesis for what's left."""
+# low-bias weight variants for the two gates that are structurally empty at
+# bias 0.5 (see OurPipeline docstring); scanned in order
+BIAS_VARIANTS = (0.15, 0.18)
+
+
+def _certify(pipe, idx, rects, target, covered):
+    """All branches this case certifies (report fired + output-liveness)."""
+    from blindshadowremoval_tpu.eval.postprocess import GSC_BRANCHES
+
+    det, _, rep = pipe.run(idx, rects)
+    certified = [b for b in GSC_BRANCHES
+                 if rep.get(b, False)
+                 and pipe.live(idx, rects, b, base=(det, rep))]
+    if target and target not in certified:
+        certified.append(target)
+    return sorted(set(certified))
+
+
+def select_cases(pipe, boxes):
+    """Greedy natural cover, then targeted synthesis for what's left, then
+    low-bias weight variants for the structurally starved gates.  Returns
+    [(case_id, image_idx, rects, certified_branches, bias)]."""
     from blindshadowremoval_tpu.eval.postprocess import (GSC_BRANCHES,
                                                          PostprocessParams)
 
@@ -400,7 +494,7 @@ def select_cases(pipe):
         print(f"image {idx}: natural live branches "
               f"{sorted(natural[idx])}", flush=True)
 
-    cases = []          # (case_id, image_idx, rects, certified_branches)
+    cases = []    # (case_id, image_idx, rects, certified_branches, bias)
     covered = set()
     while True:
         best = max(pool, key=lambda i: len(natural[i] - covered))
@@ -408,7 +502,7 @@ def select_cases(pipe):
         if not gain:
             break
         cases.append((f"nat{best}", best, np.zeros((0, 6), np.int32),
-                      sorted(gain)))
+                      sorted(gain), pipe.bias))
         covered |= natural[best]
 
     params = PostprocessParams()
@@ -418,14 +512,9 @@ def select_cases(pipe):
         **{f"nose_band_{k}": (cover_nose_band, (k, b))
            for k, b in enumerate(params.nose_frac_bands)},
         "eyebrow_edge": (cover_eyebrow_edge, ()),
-        "forehead": (cover_forehead, ()),
         "hair_veto": (cover_hair_veto, ()),
-        "dark_hair": (cover_pixel_set, (
-            "dark_hair",
-            lambda mp, tmp, part: (
-                (tmp.mean(axis=2, keepdims=True) < params.dark_hair_intensity)
-                & (mp > params.dark_hair_threshold)
-                & (mp <= params.base_threshold)),)),
+        "nose_veto_short": (cover_nose_veto, (True,)),
+        "nose_veto_long": (cover_nose_veto, (False,)),
         "hair_threshold": (cover_pixel_set, (
             "hair_threshold",
             lambda mp, tmp, part: (
@@ -440,25 +529,53 @@ def select_cases(pipe):
           flush=True)
     for b in missing:
         if b not in targeted:
-            print(f"!! no synthesis strategy for {b}; leaving uncovered",
-                  flush=True)
-            continue
+            continue   # bias-variant gates handled below
         fn, extra = targeted[b]
         hit = fn(pipe, *extra, pool) if extra else fn(pipe, pool)
         if hit is None:
             print(f"!! could not synthesize a case for {b}", flush=True)
             continue
         idx, rects = hit
-        # record every branch this synthesized case certifies
-        _, _, rep = pipe.run(idx, rects)
-        certified = [b2 for b2 in GSC_BRANCHES
-                     if rep.get(b2, False) and (b2 in covered or
-                                                pipe.live(idx, rects, b2))]
-        if b not in certified:
-            certified.append(b)
-        cases.append((f"syn_{b}", idx, rects, sorted(set(certified) | {b})))
-        covered |= set(certified) | {b}
+        certified = _certify(pipe, idx, rects, b, covered)
+        cases.append((f"syn_{b}", idx, rects, certified, pipe.bias))
+        covered |= set(certified)
         print(f"synthesized {b}: image {idx}, rects\n{rects}", flush=True)
+
+    # ---- low-bias variants for dark_hair / forehead -------------------
+    bias_pool = pool[:12]
+    for bias in BIAS_VARIANTS:
+        still = [b for b in ("forehead", "dark_hair") if b not in covered]
+        if not still:
+            break
+        print(f"\nbias variant {bias}: hunting {still}", flush=True)
+        pb = OurPipeline(boxes, bias=bias)
+        for b in still:
+            hit = None
+            # natural liveness first — the flip bands are populated here
+            for idx in bias_pool:
+                det, _, rep = pb.run(idx)
+                if rep.get(b, False) and pb.live(idx, none, b,
+                                                 base=(det, rep)):
+                    hit = (idx, none)
+                    break
+            if hit is None and b == "forehead":
+                hit = cover_forehead(pb, bias_pool)
+            if hit is None and b == "dark_hair":
+                hit = cover_pixel_set(pb, "dark_hair", lambda mp, tmp, part: (
+                    (tmp.mean(axis=2, keepdims=True)
+                     < params.dark_hair_intensity)
+                    & (mp > params.dark_hair_threshold)
+                    & (mp <= params.hair_threshold)), bias_pool)
+            if hit is None:
+                print(f"!! bias {bias}: no case for {b}", flush=True)
+                continue
+            idx, rects = hit
+            certified = _certify(pb, idx, rects, b, covered)
+            cases.append((f"syn_{b}_b{int(bias * 100)}", idx, rects,
+                          certified, bias))
+            covered |= set(certified)
+            print(f"synthesized {b} at bias {bias}: image {idx}, rects\n"
+                  f"{rects}", flush=True)
 
     print(f"\nfinal coverage {len(covered)}/{len(GSC_BRANCHES)}: "
           f"{sorted(covered)}", flush=True)
@@ -474,20 +591,40 @@ def tf_goldens(tgs, fsr, cases, imgs, boxes, name_list, out):
 
     No feed replay: the reference parser's crop boxes are random, so phase 1
     stores the exact (img, box) tensors and this phase feeds them straight
-    into the reference's FSRNet.test_step."""
+    into the reference's FSRNet.test_step.  Cases are grouped by their
+    RGB-head bias lift; the synthetic weights are re-assigned to the
+    reference generator per group (identical on the Flax side in
+    tests/test_branch_goldens.py)."""
     import tensorflow as tf
+
+    from blindshadowremoval_tpu.models.generator import GSCGenerator
+    from blindshadowremoval_tpu.models.tf_checkpoint import (
+        generator_mapping, synthetic_tf_weights)
 
     mask_files = sorted(os.listdir(
         os.path.join(REF, MASK_DIRS["face_hair"])))
+    variables = GSCGenerator().init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, 64, 64, 3), np.float32),
+        np.zeros((1, 64, 64, 3), np.float32),
+        np.zeros((1, 64, 64, 6), np.float32))
 
-    by_image = {}
-    for cid, idx, rects, branches in cases:
-        by_image.setdefault(idx, []).append((cid, rects, branches))
+    by_bias = {}
+    for cid, idx, rects, branches, bias in cases:
+        by_bias.setdefault(float(bias), []).append(
+            (cid, idx, rects, branches))
 
     names = []
-    for i in sorted(by_image):
-        img, box = tf.convert_to_tensor(imgs[i]), boxes[i]
-        for cid, rects, branches in by_image[i]:
+    for bias in sorted(by_bias):
+        weights = synthetic_tf_weights(variables, generator_mapping(),
+                                       seed=0)
+        weights["generator/clr_conv3/conv/bias"] = (
+            weights["generator/clr_conv3/conv/bias"] + bias)
+        n = assign_weights(fsr.gen, "generator", weights)
+        print(f"bias {bias}: re-assigned {n} generator variables",
+              flush=True)
+        for cid, i, rects, branches in by_bias[bias]:
+            img, box = tf.convert_to_tensor(imgs[i]), boxes[i]
             parts = load_parts(mask_files[i])
             if len(rects):
                 parts = apply_rects(parts, rects)
@@ -495,6 +632,7 @@ def tf_goldens(tgs, fsr, cases, imgs, boxes, name_list, out):
             losses, figs = fsr.test_step(img, tf.convert_to_tensor(box),
                                          *args, training=False)
             out[f"{cid}_image_idx"] = np.int32(i)
+            out[f"{cid}_bias"] = np.float32(bias)
             out[f"{cid}_box"] = boxes[i].astype(np.float32)
             out[f"{cid}_rects"] = np.asarray(rects, np.int32).reshape(-1, 6)
             out[f"{cid}_branches"] = np.asarray(branches)
@@ -505,9 +643,9 @@ def tf_goldens(tgs, fsr, cases, imgs, boxes, name_list, out):
             out[f"{cid}_psnr"] = np.float32(losses["psnr"])
             out[f"{cid}_ssim"] = np.float32(losses["ssim"])
             names.append((cid, name_list[i]))
-            print(f"golden {cid} (image {i}, {len(rects)} rects, "
-                  f"branches {branches}): psnr={float(losses['psnr']):.2f}",
-                  flush=True)
+            print(f"golden {cid} (image {i}, bias {bias}, {len(rects)} "
+                  f"rects, branches {branches}): "
+                  f"psnr={float(losses['psnr']):.2f}", flush=True)
     out["case_ids"] = np.asarray([c for c, _ in names])
     out["case_names"] = np.asarray([os.path.basename(n) for _, n in names])
 
@@ -551,7 +689,7 @@ def main():
 
     # phase 2: our pipeline — natural cover + targeted synthesis
     pipe = OurPipeline(boxes)
-    cases = select_cases(pipe)
+    cases = select_cases(pipe, boxes)
 
     # phase 3: reference goldens for every selected case
     out = {}
