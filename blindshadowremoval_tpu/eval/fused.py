@@ -128,7 +128,9 @@ def prep_part_inputs(part: dict, params: PostprocessParams) -> PartInputs:
         below_roi = below * part["face_no_hair"][..., :1]
 
     forehead_rect = zeros
-    if part["eyebrow"][..., 0].sum() > p.forehead_min_eyebrow:
+    # all-channel sum, like the reference's np.sum(curr_eyebrow_mask)
+    # (train_test_GSC.py:528) and the host twin (eval/postprocess.py)
+    if part["eyebrow"].sum() > p.forehead_min_eyebrow:
         brow_box = _bbox(part["eyebrow"][..., 0])
         fh = np.array(part["face_no_hair"], copy=True)
         fh[brow_box[0]:s, :, :] = 0

@@ -182,11 +182,17 @@ def ucb_postprocess(
         dark & (mask_pred > p.dark_hair_threshold)
         & (mask_pred <= p.base_threshold)))
 
-    if eyebrow[..., 0].sum() > p.forehead_min_eyebrow:
+    # gate on the ALL-CHANNEL mask sum — the reference's
+    # np.sum(curr_eyebrow_mask) counts the 3 replicated channels (:528),
+    # so a single-channel sum would mis-fire for eyebrow masses in (10, 30]
+    if eyebrow.sum() > p.forehead_min_eyebrow:
         brow_box = _bbox(eyebrow[..., 0])
         fh = np.array(face_no_hair, copy=True)
         fh[brow_box[0]:s, :, :] = 0
         fh_box = _bbox(fh[..., 0])
+        # empty forehead region: the reference CRASHES here (np.min of an
+        # empty np.where, train_test_GSC.py:534); skipping the block is the
+        # graceful superset behavior (PARITY.md)
         if fh_box:
             forehead = np.zeros((s, s, 3))
             forehead[int(fh_box[0] + 20):int(brow_box[0] - 40),
