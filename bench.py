@@ -83,7 +83,10 @@ def init_serving_variables(gen, img, uv, reg):
     import jax
 
     base = gen.clone(int8_head=False, fold_bn=False)
-    variables = jax.jit(base.init)(jax.random.PRNGKey(0), img, uv, reg)
+    # init at batch 1: params are batch-independent and a full-batch init
+    # is minutes of remote compile through the tunnel
+    variables = jax.jit(base.init)(jax.random.PRNGKey(0), img[:1], uv[:1],
+                                   reg[:1])
     if gen.int8_head and not (np.ndim(gen.int8_head_scale) or gen.int8_head_scale > 0):
         from blindshadowremoval_tpu.ops.calibration import head_input_bounds
 

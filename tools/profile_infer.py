@@ -26,24 +26,19 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--out", default="/tmp/infer_trace")
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--int8-head", action="store_true",
+                    help="profile the opt-in int8-head path instead of the "
+                         "production bf16+folded-BN config")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    from blindshadowremoval_tpu.models.generator import GSCGenerator
+    import bench  # the headline harness: identical model configuration
 
-    s = 256
-    gen = GSCGenerator(dtype=jnp.bfloat16, int8_head=True)
-    rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.uniform(size=(args.batch, s, s, 3)).astype(np.float32))
-    uv = jnp.asarray(rng.uniform(size=(args.batch, s, s, 3)).astype(np.float32))
-    reg = jnp.asarray(
-        rng.uniform(-0.02, 0.02, size=(args.batch, s, s, 6)).astype(np.float32))
-    # init at batch 1: params are batch-independent and the batch-128 init
-    # compile is minutes of (high-variance) remote compile time
-    variables = jax.jit(gen.init)(jax.random.PRNGKey(0), img[:1], uv[:1],
-                                  reg[:1])
+    gen = bench.make_gen(int8_head=args.int8_head)
+    img, uv, reg = bench.make_inputs(batch=args.batch)
+    gen, variables = bench.init_serving_variables(gen, img, uv, reg)
 
     @jax.jit
     def fwd(v, i, u, r):

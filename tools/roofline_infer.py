@@ -1,8 +1,8 @@
 """Roofline analysis of the headline inference forward.
 
-Lowers the exact bench.py forward AOT, reads XLA's compiled cost analysis
-(flops + bytes accessed after fusion), and compares the measured step time
-against the two speed-of-light bounds on the target chip:
+Lowers the exact bench.py serving forward AOT, reads XLA's compiled cost
+analysis (flops + bytes accessed after fusion), and compares the measured
+step time against the two speed-of-light bounds on the target chip:
 
     t_compute   = flops / peak_flops          (MXU bound)
     t_bandwidth = bytes / peak_hbm_bandwidth  (HBM bound)
@@ -13,7 +13,13 @@ at 256², so the interesting question is which wall it sits against and how
 far from it.  Peaks default to TPU v5e (bf16 394 TFLOP/s, HBM 819 GB/s) —
 override with --peak-tflops / --peak-gbps for other chips.
 
+The model/harness comes straight from bench.py (make_gen → production
+config: bf16 compute, folded BN, bf16 egress; --int8-head opts into the
+throughput-first head with self-calibrated bounds), so the roofline always
+describes the configuration the headline actually ships.
+
 Usage: python tools/roofline_infer.py [--batch 128] [--iters 64]
+                                      [--int8-head]
 """
 
 from __future__ import annotations
@@ -28,6 +34,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import bench  # the headline harness: same model, same measurement pattern
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -37,30 +45,25 @@ def main():
                     help="chip peak bf16 TFLOP/s (v5e: 394)")
     ap.add_argument("--peak-gbps", type=float, default=819.0,
                     help="chip peak HBM GB/s (v5e: 819)")
-    ap.add_argument("--no-int8-head", action="store_true")
+    ap.add_argument("--int8-head", action="store_true",
+                    help="analyze the opt-in int8-head path instead of the "
+                         "production bf16+folded-BN config")
+    ap.add_argument("--no-fold-bn", action="store_true")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    from blindshadowremoval_tpu.models.generator import GSCGenerator
-
-    s = 256
-    gen = GSCGenerator(dtype=jnp.bfloat16,
-                       int8_head=not args.no_int8_head,
-                       int8_head_scale=18.29)
-    rng = np.random.default_rng(0)
+    gen = bench.make_gen(int8_head=args.int8_head,
+                         fold_bn=not args.no_fold_bn)
+    img, uv, reg = bench.make_inputs(batch=args.batch)
+    gen, variables = bench.init_serving_variables(gen, img, uv, reg)
     b = args.batch
-    img = jnp.asarray(rng.uniform(size=(b, s, s, 3)).astype(np.float32))
-    uv = jnp.asarray(rng.uniform(size=(b, s, s, 3)).astype(np.float32))
-    reg = jnp.asarray(
-        rng.uniform(-0.02, 0.02, size=(b, s, s, 6)).astype(np.float32))
-    variables = jax.jit(gen.init)(jax.random.PRNGKey(0), img[:1], uv[:1],
-                                  reg[:1])
 
     def fwd(v, i, u, r):
         _, rgb, _, dif = gen.apply(v, i, u, r)
-        return jnp.mean(rgb) + jnp.mean(dif)
+        return jnp.mean(rgb.astype(jnp.float32)) \
+            + jnp.mean(dif.astype(jnp.float32))
 
     lowered = jax.jit(fwd).lower(variables, img, uv, reg)
     compiled = lowered.compile()
@@ -69,29 +72,18 @@ def main():
     flops = float(ca.get("flops", 0.0))
     byts = float(ca.get("bytes accessed", 0.0))
 
-    # timed with the tunnel-safe pattern (bench.py): scan K iterations inside
-    # one jitted call, fetch a scalar that depends on every step
-    K = args.iters
-
-    @jax.jit
-    def run(v, i, u, r):
-        def body(carry, _):
-            return carry + fwd(v, i + carry * 1e-9, u, r) * 1e-9, ()
-
-        out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
-        return out
-
-    first = float(run(variables, img, uv, reg))      # compile + warm
-    t0 = time.perf_counter()
-    second = float(run(variables, img, uv, reg))
-    wall = time.perf_counter() - t0
-    assert second != 0.0 and np.isfinite(second), (first, second)
-    step_s = wall / K
+    # timed with the tunnel-safe shared harness (bench.timed_scan): K
+    # forwards chained in one jitted scan, one scalar fetch, staleness
+    # asserted between trials
+    wall = bench.timed_scan(gen, variables, img, uv, reg, iters=args.iters)
+    step_s = wall / args.iters
 
     t_compute = flops / (args.peak_tflops * 1e12)
     t_bandwidth = byts / (args.peak_gbps * 1e9)
     sol = max(t_compute, t_bandwidth)
     print(json.dumps({
+        "config": ("int8_head" if args.int8_head else "production") +
+                  ("" if args.no_fold_bn else "+fold_bn"),
         "batch": b,
         "gflops_per_face": flops / b / 1e9,
         "mb_accessed_per_face": byts / b / 1e6,
