@@ -148,6 +148,15 @@ def build_parser():
                        help="offline landmark detection "
                             "(reference: bmvc2022-dataprocess.py)")
     p.add_argument("--input", required=True)
+    p.add_argument("--fan-weights", default=None,
+                   help="npz of converted 2D-FAN weights "
+                        "(tools/convert_fan_weights.py) — runs the in-repo "
+                        "JAX FAN (models/fan.py). Without it the optional "
+                        "face_alignment package is used instead")
+    p.add_argument("--face-box", default=None,
+                   help="x1,y1,x2,y2 face box applied to every image on the "
+                        "JAX FAN path (face *detection* stays pluggable; "
+                        "default: whole frame)")
     return ap
 
 
@@ -386,21 +395,50 @@ def run_preprocess(args):
 
 
 def run_landmarks(args):
-    """Offline 68-point landmark detection (bmvc2022-dataprocess.py contract):
-    requires the optional `face_alignment` package (FAN CNN)."""
-    try:
-        import face_alignment
-    except ImportError:
-        print("face_alignment is not installed; landmark detection needs the "
-              "FAN CNN (see bmvc2022-dataprocess.py:10 in the reference). "
-              "Provide 68x2 .npy landmarks from any detector instead.",
-              file=sys.stderr)
-        return 2
+    """Offline 68-point landmark detection (bmvc2022-dataprocess.py contract).
 
+    With --fan-weights: the in-repo JAX 2D-FAN (models/fan.py) under jit —
+    one compile, then one device call per image.  Otherwise falls back to
+    the optional `face_alignment` package (which also provides the SFD face
+    detector; on the JAX path detection is pluggable via --face-box)."""
     import glob
     import os
 
     import cv2
+
+    if getattr(args, "fan_weights", None):
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from blindshadowremoval_tpu.models import fan
+
+        variables = fan.load_fan_npz(args.fan_weights)
+        n_mod = 1 + max(int(k[1:]) for k in variables["params"]
+                        if k.startswith("m") and k[1:].isdigit())
+        apply_fn = jax.jit(functools.partial(
+            lambda nm, v, x: fan.FAN(num_modules=nm).apply(v, x)[-1], n_mod))
+        box = (tuple(float(v) for v in args.face_box.split(","))
+               if getattr(args, "face_box", None) else None)
+        for png in sorted(glob.glob(os.path.join(args.input, "*.png"))):
+            img = cv2.cvtColor(cv2.imread(png), cv2.COLOR_BGR2RGB)
+            pts = fan.landmarks_from_image(variables, img, box=box,
+                                           num_modules=n_mod,
+                                           apply_fn=apply_fn)
+            np.save(png.rsplit(".", 1)[0] + ".npy", pts)
+            print(f"landmarks: {png}")
+        return 0
+
+    try:
+        import face_alignment
+    except ImportError:
+        print("no --fan-weights given and face_alignment is not installed; "
+              "landmark detection needs the FAN CNN (bmvc2022-dataprocess."
+              "py:10). Convert a 2DFAN checkpoint with "
+              "tools/convert_fan_weights.py, or provide 68x2 .npy landmarks "
+              "from any detector.", file=sys.stderr)
+        return 2
 
     fa = face_alignment.FaceAlignment(
         face_alignment.LandmarksType.TWO_D, flip_input=False)

@@ -15,3 +15,4 @@ from blindshadowremoval_tpu.models.discriminator import (  # noqa: F401
     MultiScaleDiscriminators,
 )
 from blindshadowremoval_tpu.models.vgg import VGG19Features  # noqa: F401
+from blindshadowremoval_tpu.models.fan import FAN  # noqa: F401
