@@ -153,10 +153,14 @@ def build_parser():
                         "(tools/convert_fan_weights.py) — runs the in-repo "
                         "JAX FAN (models/fan.py). Without it the optional "
                         "face_alignment package is used instead")
+    p.add_argument("--sfd-weights", default=None,
+                   help="npz of converted S3FD detector weights "
+                        "(tools/convert_sfd_weights.py) — detect the face "
+                        "box in-repo (models/sfd.py) before the FAN pass")
     p.add_argument("--face-box", default=None,
                    help="x1,y1,x2,y2 face box applied to every image on the "
-                        "JAX FAN path (face *detection* stays pluggable; "
-                        "default: whole frame)")
+                        "JAX FAN path (overrides detection; default without "
+                        "--sfd-weights: whole frame)")
     return ap
 
 
@@ -398,9 +402,10 @@ def run_landmarks(args):
     """Offline 68-point landmark detection (bmvc2022-dataprocess.py contract).
 
     With --fan-weights: the in-repo JAX 2D-FAN (models/fan.py) under jit —
-    one compile, then one device call per image.  Otherwise falls back to
-    the optional `face_alignment` package (which also provides the SFD face
-    detector; on the JAX path detection is pluggable via --face-box)."""
+    one compile, then one device call per image — optionally preceded by the
+    in-repo S3FD face detector (--sfd-weights, models/sfd.py) or an explicit
+    --face-box.  Otherwise falls back to the optional `face_alignment`
+    package."""
     import glob
     import os
 
@@ -421,9 +426,22 @@ def run_landmarks(args):
             lambda nm, v, x: fan.FAN(num_modules=nm).apply(v, x)[-1], n_mod))
         box = (tuple(float(v) for v in args.face_box.split(","))
                if getattr(args, "face_box", None) else None)
+        detector = None
+        if box is None and getattr(args, "sfd_weights", None):
+            from blindshadowremoval_tpu.models import sfd
+
+            sfd_vars = sfd.load_sfd_npz(args.sfd_weights)
+            detector = lambda img: sfd.detect_faces(sfd_vars, img)  # noqa: E731
         for png in sorted(glob.glob(os.path.join(args.input, "*.png"))):
             img = cv2.cvtColor(cv2.imread(png), cv2.COLOR_BGR2RGB)
-            pts = fan.landmarks_from_image(variables, img, box=box,
+            img_box = box
+            if detector is not None:
+                dets = detector(img)
+                if not len(dets):
+                    print(f"no face: {png}")
+                    continue
+                img_box = tuple(dets[0, :4])   # best-scoring box, like fa
+            pts = fan.landmarks_from_image(variables, img, box=img_box,
                                            num_modules=n_mod,
                                            apply_fn=apply_fn)
             np.save(png.rsplit(".", 1)[0] + ".npy", pts)

@@ -18,8 +18,9 @@ implementation + the converter against an independently written PyTorch
 oracle of the published architecture with synthetic weights.
 
 Scope note: `face_alignment` brackets FAN with an SFD face *detector* to get
-the face box.  Detection stays pluggable (pass a box, or default to the
-whole frame); the landmark CNN itself — the compute-heavy part — runs here.
+the face box.  That detector is also ported in-repo (`models/sfd.py`);
+callers can alternatively pass an explicit box or default to the whole
+frame.
 
 TPU notes: everything from the 7x7 stem down to the 1x1 heads is
 conv-shaped and MXU-friendly; the hourglass runs at 64^2..4^2 x 256

@@ -1,0 +1,186 @@
+"""S3FD face detector (SFD), TPU-native — the detection half of the
+reference's landmark step.
+
+`face_alignment` brackets its FAN landmark CNN with the S3FD single-shot
+face detector (Zhang et al., ICCV'17) to find the face box
+(`bmvc2022-dataprocess.py:10` constructs `FaceAlignment`, whose
+`get_landmarks` runs SFD detection first).  `models/fan.py` ports the
+landmark CNN; this module ports the detector, so the whole
+image -> box -> crop -> heatmaps -> 68x2 pipeline runs in-repo.
+
+Architecture: VGG16 conv1_1..conv5_3, fc6/fc7 as convs, two extra conv
+stages, channel-wise L2Norm on the conv3_3/4_3/5_3 taps, and six
+(conf, loc) head pairs at strides 4..128.  The first conf head uses a
+max-out background label (3 bg channels reduced by max, concatenated with
+the face channel).  The conv trunk runs jitted on device; box decoding +
+NMS are a few hundred candidates of host numpy (offline preprocessing, not
+a hot path — the reference stack does the same on the host).
+
+Numeric contract is `face_alignment`'s `detection/sfd/detect.py`, including
+its quirks: the [104, 117, 123] mean subtraction applied to the RGB frame
+as-is, SSD decode with variances (0.1, 0.2) and per-scale square priors of
+side 4*stride, greedy NMS at IoU 0.3 with the +1-pixel area convention, and
+the 0.5 final score filter.  Weights convert offline from the published
+`s3fd-*.pth` state dict via `tools/convert_sfd_weights.py`; the mapping and
+this implementation are machine-verified against an independent torch
+oracle in `tests/test_sfd.py` (synthetic weights — same pattern as the VGG
+and FAN chains).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+# (name, width, convs-in-block) for the VGG16 trunk
+_TRUNK = (("conv1", 64, 2), ("conv2", 128, 2), ("conv3", 256, 3),
+          ("conv4", 512, 3), ("conv5", 512, 3))
+_L2NORM_TAPS = {"conv3_3": 256, "conv4_3": 512, "conv5_3": 512}
+_MEAN = (104.0, 117.0, 123.0)   # fa subtracts these from the RGB frame as-is
+_VARIANCES = (0.1, 0.2)
+
+
+class L2Norm(nn.Module):
+    """Channel-wise L2 normalization with a learned per-channel scale."""
+
+    channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        scale = self.param("weight", nn.initializers.ones, (self.channels,))
+        norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True))
+        return x / (norm + 1e-10) * scale.astype(x.dtype)
+
+
+class S3FD(nn.Module):
+    """Input [B, H, W, 3]: RGB float minus `_MEAN` (see `preprocess`).
+    Returns six (conf, loc) pairs, conf already softmaxed with the max-out
+    background reduction applied at the stride-4 head."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> list[tuple[jax.Array, jax.Array]]:
+        dt = self.dtype
+        x = x.astype(dt)
+
+        def conv(feat, name, k=3, stride=1, pad=None):
+            p = (k // 2) if pad is None else pad
+            return nn.Conv(feat, (k, k), strides=(stride, stride),
+                           padding=((p, p), (p, p)), dtype=dt, name=name)
+
+        taps = {}
+        for block, width, n in _TRUNK:
+            for i in range(1, n + 1):
+                x = nn.relu(conv(width, f"{block}_{i}")(x))
+                if f"{block}_{i}" in _L2NORM_TAPS:
+                    taps[f"{block}_{i}"] = x
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = nn.relu(conv(1024, "fc6", k=3, pad=3)(x))
+        x = taps["fc7"] = nn.relu(conv(1024, "fc7", k=1)(x))
+        x = nn.relu(conv(256, "conv6_1", k=1)(x))
+        x = taps["conv6_2"] = nn.relu(conv(512, "conv6_2", stride=2)(x))
+        x = nn.relu(conv(128, "conv7_1", k=1)(x))
+        taps["conv7_2"] = nn.relu(conv(256, "conv7_2", stride=2)(x))
+
+        outs = []
+        for i, name in enumerate(("conv3_3", "conv4_3", "conv5_3",
+                                  "fc7", "conv6_2", "conv7_2")):
+            t = taps[name]
+            head = name + "_norm" if name in _L2NORM_TAPS else name
+            if name in _L2NORM_TAPS:
+                t = L2Norm(_L2NORM_TAPS[name], dt, name=head)(t)
+            n_conf = 4 if i == 0 else 2
+            conf = conv(n_conf, f"{head}_mbox_conf")(t).astype(jnp.float32)
+            loc = conv(4, f"{head}_mbox_loc")(t).astype(jnp.float32)
+            if i == 0:   # max-out background: max of 3 bg channels vs face
+                bg = jnp.max(conf[..., :3], axis=-1, keepdims=True)
+                conf = jnp.concatenate([bg, conf[..., 3:]], axis=-1)
+            outs.append((jax.nn.softmax(conf, axis=-1), loc))
+        return outs
+
+
+def preprocess(rgb: np.ndarray) -> np.ndarray:
+    """uint8/float RGB frame -> the detector's input (fa detect.py:
+    subtract (104, 117, 123) from the frame without channel reorder)."""
+    return np.asarray(rgb, np.float32) - np.asarray(_MEAN, np.float32)
+
+
+def decode_detections(outs, score_thresh: float = 0.05) -> np.ndarray:
+    """Six softmaxed (conf, loc) head pairs -> [N, 5] (x1, y1, x2, y2,
+    score) candidates above `score_thresh` (host numpy; vectorized over the
+    anchor grid instead of fa's per-position Python loop)."""
+    boxes = []
+    for i, (conf, loc) in enumerate(outs):
+        stride = 2 ** (i + 2)
+        score = np.asarray(conf)[0, :, :, 1]
+        reg = np.asarray(loc)[0]
+        hi, wi = np.nonzero(score > score_thresh)
+        if hi.size == 0:
+            continue
+        acx = stride / 2.0 + wi * stride
+        acy = stride / 2.0 + hi * stride
+        side = stride * 4.0
+        l = reg[hi, wi]                              # [n, 4]
+        cx = acx + l[:, 0] * _VARIANCES[0] * side
+        cy = acy + l[:, 1] * _VARIANCES[0] * side
+        w = side * np.exp(l[:, 2] * _VARIANCES[1])
+        h = side * np.exp(l[:, 3] * _VARIANCES[1])
+        boxes.append(np.stack([cx - w / 2, cy - h / 2,
+                               cx + w / 2, cy + h / 2,
+                               score[hi, wi]], axis=1))
+    if not boxes:
+        return np.zeros((0, 5), np.float32)
+    return np.concatenate(boxes, axis=0).astype(np.float32)
+
+
+def nms(dets: np.ndarray, thresh: float = 0.3) -> np.ndarray:
+    """Greedy NMS with the reference stack's +1-pixel area convention."""
+    if len(dets) == 0:
+        return np.zeros(0, np.int64)
+    x1, y1, x2, y2, scores = dets.T
+    areas = (x2 - x1 + 1) * (y2 - y1 + 1)
+    order = scores.argsort()[::-1]
+    keep = []
+    while order.size > 0:
+        i = order[0]
+        keep.append(i)
+        xx1 = np.maximum(x1[i], x1[order[1:]])
+        yy1 = np.maximum(y1[i], y1[order[1:]])
+        xx2 = np.minimum(x2[i], x2[order[1:]])
+        yy2 = np.minimum(y2[i], y2[order[1:]])
+        inter = (np.maximum(0.0, xx2 - xx1 + 1)
+                 * np.maximum(0.0, yy2 - yy1 + 1))
+        iou = inter / (areas[i] + areas[order[1:]] - inter)
+        order = order[1:][iou <= thresh]
+    return np.asarray(keep, np.int64)
+
+
+def detect_faces(variables, image: np.ndarray, apply_fn=None,
+                 filter_threshold: float = 0.5) -> np.ndarray:
+    """RGB frame -> [N, 5] face boxes (x1, y1, x2, y2, score), best first.
+
+    The conv trunk runs on device (jitted per input shape — offline
+    preprocessing recompiles per image size, as any static-shape XLA
+    program does); candidate decode + NMS + the 0.5 score filter run on
+    the host, matching `face_alignment`'s SFDDetector end to end.
+    """
+    if apply_fn is None:
+        apply_fn = jax.jit(lambda v, x: S3FD().apply(v, x))
+    inp = jnp.asarray(preprocess(image))[None]
+    dets = decode_detections(apply_fn(variables, inp))
+    dets = dets[nms(dets)]
+    return dets[dets[:, 4] > filter_threshold]
+
+
+def load_sfd_npz(path: str):
+    """Load converted S3FD weights (tools/convert_sfd_weights.py)."""
+    from blindshadowremoval_tpu.models.fan import variables_from_flat
+
+    raw = np.load(path)
+    return variables_from_flat({k: raw[k] for k in raw.files})
