@@ -98,38 +98,52 @@ def init_serving_variables(gen, img, uv, reg):
     return gen, variables
 
 
-def timed_scan(gen, variables, img, uv, reg, iters: int = ITERS,
-               trials: int = 3) -> float:
-    """Best wall seconds for `iters` chained forwards (one scalar fetch).
+def timed_scan_fn(step, variables, x, *rest, iters: int = ITERS,
+                  trials: int = 3) -> float:
+    """Best wall seconds for `iters` chained `step` calls (one scalar fetch).
 
-    The shared measurement harness (bench.py headline, tools/bench_sweep.py):
-    forwards are chained in one jitted lax.scan reduced to a scalar, inputs
-    perturbed per step and per trial, staleness asserted between trials.
+    The shared measurement harness (bench.py headline, tools/bench_sweep.py,
+    tools/bench_landmarks.py): `step(variables, x, *rest) -> scalar` calls
+    are chained in one jitted lax.scan reduced to a scalar, with `x` (a
+    float array) perturbed per scan step and per trial, and staleness
+    asserted between trials — through the axon tunnel only the final
+    scalar fetch actually waits for remote execution (module docstring).
     """
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def bench(v, i, u, r):
+    def bench(v, i, *r):
         def body(carry, t):
-            _, rgb, _, dif = gen.apply(v, i + t.astype(jnp.float32) * 1e-6,
-                                       u, r)
-            return carry + jnp.mean(rgb.astype(jnp.float32)) \
-                + jnp.mean(dif.astype(jnp.float32)), None
+            return carry + step(v, i + t.astype(i.dtype) * 1e-6, *r), None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(iters))
         return acc
 
-    prev = float(bench(variables, img, uv, reg))   # warmup: compile+run+fetch
+    prev = float(bench(variables, x, *rest))   # warmup: compile+run+fetch
     best = float("inf")
     for trial in range(1, trials + 1):
         t0 = time.perf_counter()
-        val = float(bench(variables, img + jnp.float32(trial * 1e-5), uv, reg))
+        val = float(bench(variables, x + (trial * 1e-5), *rest))
         dt = time.perf_counter() - t0
         assert val != prev, "benchmark result did not change — stale replay?"
         prev = val
         best = min(best, dt)
     return best
+
+
+def timed_scan(gen, variables, img, uv, reg, iters: int = ITERS,
+               trials: int = 3) -> float:
+    """timed_scan_fn specialized to the headline generator forward."""
+    import jax.numpy as jnp
+
+    def step(v, i, u, r):
+        _, rgb, _, dif = gen.apply(v, i, u, r)
+        return (jnp.mean(rgb.astype(jnp.float32))
+                + jnp.mean(dif.astype(jnp.float32)))
+
+    return timed_scan_fn(step, variables, img, uv, reg,
+                         iters=iters, trials=trials)
 
 
 def main() -> None:
