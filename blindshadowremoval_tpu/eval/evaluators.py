@@ -181,12 +181,16 @@ class UCBEvaluator(Evaluator):
                          sample_name: Optional[str] = None) -> dict:
         """Load the 7 per-image part masks.
 
-        Default pairing is POSITIONAL — `sorted(listdir)[index]` against the
-        natsorted sample list — faithfully mirroring the reference
-        (train_test_GSC.py:372,387-393), which silently misaligns if the
-        mask directory and image set ever diverge.  Passing `sample_name`
-        (the image's landmark path) switches to filename keying:
-        `<id>_<stem>-result.png`, raising loudly when the mask is missing.
+        With `sample_name` (the image's landmark path) pairing is KEYED BY
+        FILENAME — `<id>_<stem>-result.png`, the scheme the reference's own
+        mask fixtures use (e.g. `9156_9156-004-result.png` pairs with
+        `UCB/train/input/9156/9156-004.npy`) — raising loudly when a mask is
+        missing.  Without it pairing is POSITIONAL: `sorted(listdir)[index]`
+        against the natsorted sample list, faithfully mirroring the
+        reference (train_test_GSC.py:372,387-393).  Positional pairing
+        silently misaligns if the mask directory and image set ever diverge,
+        so `run()` defaults to name keying; the positional mode exists for
+        parity tooling that replays the reference's exact iteration order.
         """
         import cv2
 
@@ -203,9 +207,14 @@ class UCBEvaluator(Evaluator):
             path = os.path.join(root, d, fname)
             m = cv2.imread(path)
             if m is None:   # missing or unreadable in ANY of the 7 dirs
+                hint = (" (name-keyed pairing; pass key_masks_by_name=False "
+                        "for the reference's positional pairing if your mask "
+                        "dirs use a different naming scheme)"
+                        if sample_name else "")
                 raise FileNotFoundError(
                     f"part mask {path!r} missing/unreadable"
-                    + (f" for sample {sample_name!r}" if sample_name else ""))
+                    + (f" for sample {sample_name!r}" if sample_name else "")
+                    + hint)
             out[key] = m / 255.0
         return out
 
@@ -413,12 +422,16 @@ class UCBEvaluator(Evaluator):
 
     def run(self, dataset, part_mask_root: str,
             params: Optional[PostprocessParams] = None,
-            fused: Optional[bool] = None, key_masks_by_name: bool = False,
+            fused: Optional[bool] = None, key_masks_by_name: bool = True,
             rgb_heuristics: bool = False):
         """fused=None auto-selects the single-device-call path (run_one_fused,
         verified identical in tests/test_fused_eval.py) for both geometry
-        modes.  key_masks_by_name=True pairs part masks by filename instead
-        of the reference-faithful positional pairing.  Variant routing:
+        modes.  Part masks pair by FILENAME by default
+        (`<id>_<stem>-result.png`, the reference fixtures' own scheme) and
+        raise on a missing mask; key_masks_by_name=False restores the
+        reference-faithful positional pairing (train_test_GSC.py:372,387-393)
+        for parity tooling — it silently mispairs on a misordered mask dir,
+        which is why it is no longer the default.  Variant routing:
         "rgb" runs the reference's simple face-mask composite protocol
         (run_one_simple) unless rgb_heuristics=True opts into the
         generalized heuristic pipeline (which feeds it a

@@ -71,7 +71,10 @@ class _UCBProbe:
         it = iter(ds)
         for i in range(min(n_images, len(ds.name_list))):
             batch, box, name = next(it)
-            parts = self._ev._load_part_masks(probe_cfg.part_mask_root, i)
+            # name-keyed mask pairing (the run() default): a misordered
+            # mask dir must fail loudly, not silently skew the probe
+            parts = self._ev._load_part_masks(probe_cfg.part_mask_root, i,
+                                              sample_name=name)
             self._batches.append((batch, box, name, parts))
 
     def __call__(self, state) -> float:

@@ -206,7 +206,8 @@ def _make_ucb_fixture(tmp_path):
         d.mkdir(parents=True)
         m = np.zeros((h, w, 3), np.uint8)
         m[r0:r1, c0:c1] = 255
-        cv2.imwrite(str(d / "x.png"), m)
+        # the reference fixtures' name-keyed scheme: <id>_<stem>-result.png
+        cv2.imwrite(str(d / "id1_x-result.png"), m)
     return str(tmp_path / "ucb")
 
 
@@ -246,6 +247,29 @@ def test_ucb_eval_single_view(tmp_path):
     ev = UCBEvaluator(cfg, _variables(cfg))
     r = ev.run_one(batch, box, name, ev._load_part_masks(root, 0))
     assert np.isfinite(r["psnr"]) and np.isfinite(r["ssim"])
+
+
+@pytest.mark.skipif(not os.path.isdir(SAMPLE), reason="sample fixture absent")
+def test_ucb_eval_name_keyed_refuses_mismatch(tmp_path):
+    """The run() default is name-keyed part-mask pairing: a mask directory
+    whose filenames don't match `<id>_<stem>-result.png` must raise instead
+    of silently pairing by position (VERDICT r3 weak #6)."""
+    import cv2
+
+    from blindshadowremoval_tpu.eval.evaluators import UCBEvaluator
+
+    root = _make_ucb_fixture(tmp_path)
+    # sabotage one directory: rename its mask to a positional-style name
+    d = os.path.join(root, UCBEvaluator.PART_DIRS["nose"])
+    os.rename(os.path.join(d, "id1_x-result.png"),
+              os.path.join(d, "something_else.png"))
+    cfg = _small_config(tmp_path / "ckpt", "ucb",
+                        data_dirs_test=(root + "/input/*",),
+                        part_mask_root=root)
+    ds = Dataset(cfg, "test")
+    ev = UCBEvaluator(cfg, _variables(cfg))
+    with pytest.raises(FileNotFoundError, match="key_masks_by_name"):
+        ev.run(ds, root)
 
 
 def test_ucb_gt_path():

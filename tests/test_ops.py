@@ -104,15 +104,64 @@ def test_ssim_identity_and_sensitivity(rng):
     assert np.asarray(ssim(x, y)) < 0.999
 
 
-def test_ssim_matches_skimage(rng):
-    skimage = pytest.importorskip("skimage.metrics")
+def _wang_ssim_numpy(x: np.ndarray, y: np.ndarray, data_range: float = 1.0,
+                     sigma: float = 1.5, radius: int = 5) -> float:
+    """Vendored pure-numpy Wang-et-al. SSIM oracle (single 2-D image).
+
+    Algorithmically identical to ``skimage.metrics.structural_similarity(
+    x, y, data_range, gaussian_weights=True, sigma=1.5,
+    use_sample_covariance=False)``: an 11x11 Gaussian window (radius 5 =
+    ``int(3.5 * 1.5 + 0.5)``, skimage's truncate=3.5), population (not
+    sample) covariance, and the mean over the valid interior only —
+    skimage filters with 'nearest' padding then crops ``pad`` pixels, which
+    on the remaining interior equals a valid-mode convolution.  Kept inline
+    (skimage is not installed here) so the oracle runs everywhere;
+    tf.image.ssim — the metric the reference actually calls at
+    train_test_GSC.py:724 — shares these exact defaults, making this an
+    independent cross-check of ops/image.py:ssim written from the paper,
+    not from the implementation under test.
+    """
+    g = np.exp(-0.5 * (np.arange(-radius, radius + 1) / sigma) ** 2)
+    g /= g.sum()
+    win = np.outer(g, g)
+
+    def filt(img):
+        h, w = img.shape
+        k = 2 * radius + 1
+        # valid-mode 2-D correlation via an explicit sliding window
+        strided = np.lib.stride_tricks.sliding_window_view(img, (k, k))
+        return np.einsum("ijkl,kl->ij", strided, win)
+
+    x = x.astype(np.float64)
+    y = y.astype(np.float64)
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    ux, uy = filt(x), filt(y)
+    vx = filt(x * x) - ux * ux
+    vy = filt(y * y) - uy * uy
+    vxy = filt(x * y) - ux * uy
+    s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / (
+        (ux ** 2 + uy ** 2 + c1) * (vx + vy + c2))
+    return float(s.mean())
+
+
+def test_ssim_matches_wang_oracle(rng):
     x = rng.uniform(size=(48, 48)).astype(np.float32)
     y = np.clip(x + rng.normal(scale=0.05, size=x.shape), 0, 1).astype(np.float32)
     ours = float(ssim(jnp.asarray(x[None, :, :, None]),
-                      jnp.asarray(y[None, :, :, None])))
-    ref = skimage.structural_similarity(
-        x, y, data_range=1.0, gaussian_weights=True, sigma=1.5,
-        use_sample_covariance=False)
+                      jnp.asarray(y[None, :, :, None]))[0])
+    ref = _wang_ssim_numpy(x, y, data_range=1.0)
+    np.testing.assert_allclose(ours, ref, atol=2e-3)
+
+
+def test_ssim_oracle_on_structured_image():
+    # a second fixture with structure (gradients + edges), not just noise
+    xx, yy = np.meshgrid(np.linspace(0, 1, 64), np.linspace(0, 1, 64))
+    x = (0.5 + 0.5 * np.sin(8 * xx) * np.cos(5 * yy)).astype(np.float32)
+    y = np.clip(x * 0.9 + 0.05, 0, 1).astype(np.float32)
+    ours = float(ssim(jnp.asarray(x[None, :, :, None]),
+                      jnp.asarray(y[None, :, :, None]))[0])
+    ref = _wang_ssim_numpy(x, y, data_range=1.0)
     np.testing.assert_allclose(ours, ref, atol=2e-3)
 
 
