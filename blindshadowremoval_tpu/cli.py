@@ -144,6 +144,37 @@ def build_parser():
     p.add_argument("--output", required=True)
     p.add_argument("--size", type=int, default=256)
 
+    p = sub.add_parser(
+        "e2e",
+        help="raw uncropped images -> deshadowed faces, one warm pass "
+             "(detect + align + crop + deshadow; replaces the reference's "
+             "three manual scripts)")
+    p.add_argument("--input", required=True,
+                   help="dir of raw PNGs; a sibling <name>.npy 68x2 "
+                        "landmark file (the reference's shipped contract) "
+                        "skips the neural detect+align stages for that "
+                        "image")
+    p.add_argument("--output", required=True)
+    p.add_argument("--fan-weights", default=None,
+                   help="npz of converted 2D-FAN weights for the align "
+                        "stage (tools/convert_fan_weights.py)")
+    p.add_argument("--sfd-weights", default=None,
+                   help="npz of converted S3FD weights for the detect "
+                        "stage (tools/convert_sfd_weights.py)")
+    p.add_argument("--det-size", type=int, default=640,
+                   help="canonical detector input (host letterbox) — the "
+                        "detector compiles once for any image size")
+    p.add_argument("--det-batch", type=int, default=4)
+    p.add_argument("--fan-batch", type=int, default=16)
+    p.add_argument("--serve-batch", type=int, default=16,
+                   help="generator batch in the deshadow stage")
+    p.add_argument("--batch-files", type=int, default=16,
+                   help="images read from disk per pipeline call")
+    p.add_argument("--min-face", type=int, default=250,
+                   help="reject faces below this crop side "
+                        "(dataprocess.py:66)")
+    _add_common(p)
+
     p = sub.add_parser("landmarks",
                        help="offline landmark detection "
                             "(reference: bmvc2022-dataprocess.py)")
@@ -200,6 +231,8 @@ def main(argv=None):
         return run_preprocess(args)
     if args.cmd == "landmarks":
         return run_landmarks(args)
+    if args.cmd == "e2e":
+        return run_e2e(args)
 
     preset = {"infer": "in_the_wild", "ucb": "ucb", "sfw": "sfw",
               "sfw-video": "sfw_video", "train": "train"}[args.cmd]
@@ -362,6 +395,56 @@ def run_train(cfg, args):
     fit(cfg, ds_train, ds_val, trainer=trainer,
         select_best=getattr(args, "select_best", False),
         probe_images=getattr(args, "probe_images", 20))
+    return 0
+
+
+def run_e2e(args):
+    """Batched raw-image -> deshadowed pipeline (eval/e2e.py).
+
+    The single-pass replacement for the reference's three manual scripts
+    (bmvc2022-dataprocess.py + dataprocess.py + train_test_GSC.py main):
+    detect + align + crop + deshadow, every neural stage warm and batched.
+    """
+    from blindshadowremoval_tpu.config import get_config
+    from blindshadowremoval_tpu.eval.e2e import DeshadowPipeline
+
+    overrides = dict(img_size=args.img_size, checkpoint_dir=args.ckpt,
+                     device_geometry=True)
+    if args.variant:
+        overrides["variant"] = args.variant
+    if args.int8_head:
+        overrides["int8_head"] = True
+    if args.int8_head_scale:
+        overrides["int8_head_scale"] = args.int8_head_scale
+    if args.fold_bn:
+        overrides["fold_bn"] = True
+    cfg = get_config("in_the_wild", **overrides)
+    _, _, variables, _, cfg = _restore(cfg)
+
+    fan_vars = sfd_vars = None
+    if args.fan_weights:
+        from blindshadowremoval_tpu.models.fan import load_fan_npz
+
+        fan_vars = load_fan_npz(args.fan_weights)
+    if args.sfd_weights:
+        from blindshadowremoval_tpu.models.sfd import load_sfd_npz
+
+        sfd_vars = load_sfd_npz(args.sfd_weights)
+
+    fan_modules = 4
+    if fan_vars is not None:
+        fan_modules = 1 + max(int(k[1:]) for k in fan_vars["params"]
+                              if k.startswith("m") and k[1:].isdigit())
+    pipe = DeshadowPipeline(
+        cfg, variables, fan_variables=fan_vars, sfd_variables=sfd_vars,
+        det_size=args.det_size, det_batch=args.det_batch,
+        fan_batch=args.fan_batch, fan_modules=fan_modules,
+        min_face=args.min_face, batch_size=args.serve_batch,
+        compact_output=True, compact_ingress=True)
+    stats = pipe.run_dir(args.input, args.output,
+                         batch_files=args.batch_files)
+    print("e2e:", {k: (round(v, 4) if isinstance(v, float) else v)
+                   for k, v in stats.items()})
     return 0
 
 

@@ -111,15 +111,17 @@ def preprocess(rgb: np.ndarray) -> np.ndarray:
     return np.asarray(rgb, np.float32) - np.asarray(_MEAN, np.float32)
 
 
-def decode_detections(outs, score_thresh: float = 0.05) -> np.ndarray:
+def decode_detections(outs, score_thresh: float = 0.05,
+                      index: int = 0) -> np.ndarray:
     """Six softmaxed (conf, loc) head pairs -> [N, 5] (x1, y1, x2, y2,
     score) candidates above `score_thresh` (host numpy; vectorized over the
-    anchor grid instead of fa's per-position Python loop)."""
+    anchor grid instead of fa's per-position Python loop).  `index` selects
+    the batch element to decode (the batched FaceDetector path)."""
     boxes = []
     for i, (conf, loc) in enumerate(outs):
         stride = 2 ** (i + 2)
-        score = np.asarray(conf)[0, :, :, 1]
-        reg = np.asarray(loc)[0]
+        score = np.asarray(conf)[index, :, :, 1]
+        reg = np.asarray(loc)[index]
         hi, wi = np.nonzero(score > score_thresh)
         if hi.size == 0:
             continue
@@ -176,6 +178,85 @@ def detect_faces(variables, image: np.ndarray, apply_fn=None,
     dets = decode_detections(apply_fn(variables, inp))
     dets = dets[nms(dets)]
     return dets[dets[:, 4] > filter_threshold]
+
+
+def letterbox(image: np.ndarray, det_size: int) -> tuple[np.ndarray, float]:
+    """Scale the frame to fit a `det_size` square (preserving aspect) and
+    zero-pad bottom/right.  Returns (canvas float32 RGB, scale) where
+    original coords = canvas coords / scale.
+
+    This is the canonical-input-size trick that lets the batched detector
+    compile ONCE for arbitrary in-the-wild image sizes: any static-shape XLA
+    program recompiles per distinct shape, so the per-image shape variance
+    moves to a cheap host resize instead (the reference stack resizes on the
+    host too — torch SFD just hides the per-shape cost as CUDA kernel
+    re-selection rather than recompilation).
+    """
+    import cv2
+
+    h, w = image.shape[:2]
+    scale = det_size / max(h, w)
+    nw, nh = max(1, round(w * scale)), max(1, round(h * scale))
+    resized = cv2.resize(np.asarray(image, np.float32), (nw, nh),
+                         interpolation=cv2.INTER_LINEAR)
+    canvas = np.zeros((det_size, det_size, 3), np.float32)
+    canvas[:nh, :nw] = resized[..., :3]
+    return canvas, scale
+
+
+class FaceDetector:
+    """Warm, batched S3FD at a canonical input size — one compile total.
+
+    The per-image `detect_faces` path jits per input shape (every distinct
+    in-the-wild image size recompiles, ~20-40 s each on this stack); this
+    class letterboxes every frame to `det_size` on the host, runs the conv
+    trunk batched (padding tail batches to the warm shape), and rescales the
+    decoded boxes back to original-image coordinates.  Decode + NMS + the
+    0.5 score filter stay host-side per image, matching face_alignment's
+    SFDDetector numeric contract on the letterboxed frame.
+
+    dtype=bfloat16 runs the trunk on the MXU at full rate; scores shift by
+    ~1e-2 versus float32 (enough to flip boxes within ~1e-2 of the 0.5
+    filter, not enough to move a confident detection), and boxes by well
+    under a pixel at det_size 640.
+    """
+
+    def __init__(self, variables, det_size: int = 640, batch_size: int = 4,
+                 dtype: Any = jnp.float32, filter_threshold: float = 0.5,
+                 warm: bool = True):
+        self.variables = variables
+        self.det_size = det_size
+        self.batch_size = batch_size
+        self.filter_threshold = filter_threshold
+        net = S3FD(dtype=dtype)
+        self._apply = jax.jit(lambda v, x: net.apply(v, x))
+        if warm:
+            z = jnp.zeros((batch_size, det_size, det_size, 3), jnp.float32)
+            jax.block_until_ready(self._apply(self.variables, z))
+
+    def __call__(self, images) -> list[np.ndarray]:
+        """RGB frames (any sizes) -> per-image [N, 5] boxes (x1, y1, x2,
+        y2, score) in ORIGINAL image coordinates, best-scoring first."""
+        results: list[np.ndarray] = []
+        bs = self.batch_size
+        for start in range(0, len(images), bs):
+            chunk = images[start:start + bs]
+            n = len(chunk)
+            pairs = [letterbox(im, self.det_size) for im in chunk]
+            batch = np.stack([preprocess(c) for c, _ in pairs])
+            if n < bs:   # pad the tail to the warm shape
+                batch = np.concatenate(
+                    [batch, np.zeros((bs - n,) + batch.shape[1:],
+                                     np.float32)])
+            outs = jax.device_get(self._apply(self.variables,
+                                              jnp.asarray(batch)))
+            for i in range(n):
+                dets = decode_detections(outs, index=i)
+                dets = dets[nms(dets)]
+                dets = dets[dets[:, 4] > self.filter_threshold]
+                dets[:, :4] /= pairs[i][1]     # back to original coords
+                results.append(dets)
+        return results
 
 
 def load_sfd_npz(path: str):

@@ -1,0 +1,195 @@
+"""End-to-end pipeline (eval/e2e.py): the batched raw-image -> deshadowed
+path that replaces the reference's three manual scripts
+(bmvc2022-dataprocess.py + dataprocess.py + train_test_GSC.py main).
+
+Equivalence strategy: each batched stage is checked against its per-image
+twin (FaceDetector vs detect_faces on the letterboxed frame; LandmarkAligner
+vs landmarks_from_image), and the whole pipeline with oracle landmarks is
+checked against the manual offline_crop + ShadowRemovalService composition.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+SAMPLE = "/root/reference/sample_uncropped_images"
+
+
+# ------------------------------------------------------------ detector
+
+def _sfd_vars(det_size):
+    from blindshadowremoval_tpu.models.sfd import S3FD
+
+    m = S3FD()
+    return m.init(jax.random.PRNGKey(0),
+                  jnp.zeros((1, det_size, det_size, 3)))
+
+
+def test_letterbox_geometry():
+    from blindshadowremoval_tpu.models.sfd import letterbox
+
+    img = np.full((60, 120, 3), 200, np.uint8)
+    canvas, scale = letterbox(img, 128)
+    assert canvas.shape == (128, 128, 3)
+    assert scale == 128 / 120
+    # content occupies the top-left (60*scale)x128 region; rest is zero
+    nh = round(60 * scale)
+    assert canvas[:nh, :, :].mean() > 150
+    assert canvas[nh + 1:, :, :].max() == 0.0
+
+
+@pytest.mark.slow   # compiles the VGG16 trunk at two shapes
+def test_face_detector_matches_per_image_path():
+    """Batched canonical-size detection == per-image detect_faces on the
+    letterboxed frame, with boxes rescaled to original coordinates —
+    mixed input sizes through ONE compiled executable."""
+    from blindshadowremoval_tpu.models import sfd
+
+    det_size = 128
+    variables = _sfd_vars(det_size)
+    rng = np.random.default_rng(3)
+    images = [rng.uniform(0, 255, (100, 80, 3)).astype(np.uint8),
+              rng.uniform(0, 255, (50, 120, 3)).astype(np.uint8),
+              rng.uniform(0, 255, (128, 128, 3)).astype(np.uint8)]
+
+    det = sfd.FaceDetector(variables, det_size=det_size, batch_size=2,
+                           filter_threshold=0.0)
+    batched = det(images)
+    assert len(batched) == 3
+
+    for img, got in zip(images, batched):
+        canvas, scale = sfd.letterbox(img, det_size)
+        want = sfd.detect_faces(variables, canvas, filter_threshold=0.0)
+        want = want.copy()
+        want[:, :4] /= scale
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+# ------------------------------------------------------------- aligner
+
+@pytest.mark.slow   # compiles the hourglass batched + per-image
+def test_landmark_aligner_matches_per_image_path():
+    from blindshadowremoval_tpu.models import fan
+
+    m = fan.FAN(num_modules=1)
+    variables = m.init(jax.random.PRNGKey(1),
+                       jnp.zeros((1, fan.INPUT_RES, fan.INPUT_RES, 3)))
+    rng = np.random.default_rng(4)
+    images = [rng.uniform(0, 255, (300, 400, 3)).astype(np.uint8),
+              rng.uniform(0, 255, (500, 280, 3)).astype(np.uint8),
+              rng.uniform(0, 255, (256, 256, 3)).astype(np.uint8)]
+    boxes = [(80, 40, 320, 280), (30, 100, 250, 420), (0, 0, 256, 256)]
+
+    al = fan.LandmarkAligner(variables, num_modules=1, batch_size=2)
+    got = al(images, boxes)
+    assert len(got) == 3
+    for img, box, g in zip(images, boxes, got):
+        want = fan.landmarks_from_image(variables, img, box=box,
+                                        num_modules=1)
+        # identical crops through the identical network; the only delta is
+        # the host-numpy vs jnp coordinate affine
+        np.testing.assert_allclose(g, want, rtol=1e-4, atol=1e-3)
+
+
+# ------------------------------------------------------------ pipeline
+
+def _gen_setup(tmp_path):
+    from blindshadowremoval_tpu.config import get_config
+    from blindshadowremoval_tpu.train.trainer import build_generator
+
+    cfg = get_config("in_the_wild", img_size=256, device_geometry=True,
+                     checkpoint_dir=str(tmp_path / "ckpt"))
+    gen = build_generator(cfg)
+    z3 = np.zeros((1, 256, 256, 3), np.float32)
+    variables = gen.init(jax.random.PRNGKey(0), z3, z3, None)
+    return cfg, variables
+
+
+@pytest.mark.slow   # builds the 256^2 serving engine
+@pytest.mark.skipif(not os.path.isdir(SAMPLE), reason="sample fixture absent")
+def test_pipeline_oracle_landmarks_matches_manual_path(tmp_path):
+    """With caller-provided landmarks (the reference's shipped .npy
+    contract) the pipeline must equal offline_crop + ShadowRemovalService
+    composed by hand."""
+    import cv2
+
+    from blindshadowremoval_tpu.eval.e2e import DeshadowPipeline
+    from blindshadowremoval_tpu.eval.serving import ShadowRemovalService
+    from blindshadowremoval_tpu.geometry.crop import offline_crop
+
+    cfg, variables = _gen_setup(tmp_path)
+    img = cv2.cvtColor(cv2.imread(os.path.join(SAMPLE, "01001.png")),
+                       cv2.COLOR_BGR2RGB)
+    lm = np.load(os.path.join(SAMPLE, "01001.npy"))
+
+    pipe = DeshadowPipeline(cfg, variables, batch_size=2)
+    res = pipe([img], landmarks=[lm])
+    assert res[0] is not None
+    assert pipe.last_times.faces == 1
+
+    crop, lm2 = offline_crop(img, lm, out_size=256)
+    svc = ShadowRemovalService(cfg, variables, batch_size=2)
+    want = svc.remove_shadows([crop / 255.0], [lm2])[0]
+    np.testing.assert_allclose(res[0]["pred"], want["pred"], atol=1e-5)
+    np.testing.assert_allclose(res[0]["mask_pred"], want["mask_pred"],
+                               atol=1e-5)
+    # the composite gates pred by the clipped face-gated shadow map
+    m = np.clip(want["mask_pred"], 0, 1)
+    np.testing.assert_allclose(
+        res[0]["out"],
+        np.clip(want["pred"] * m + want["img"] * (1 - m), 0, 1), atol=1e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.isdir(SAMPLE), reason="sample fixture absent")
+def test_pipeline_run_dir_writes_outputs(tmp_path):
+    """run_dir: .npy-landmarked PNGs flow through and write the three
+    output images; timing stats aggregate."""
+    import cv2
+    import shutil
+
+    from blindshadowremoval_tpu.eval.e2e import DeshadowPipeline
+
+    cfg, variables = _gen_setup(tmp_path)
+    indir = tmp_path / "in"
+    indir.mkdir()
+    for name in ("01001", "01002"):
+        shutil.copy(os.path.join(SAMPLE, name + ".png"), indir)
+        shutil.copy(os.path.join(SAMPLE, name + ".npy"), indir)
+
+    pipe = DeshadowPipeline(cfg, variables, batch_size=2)
+    stats = pipe.run_dir(str(indir), str(tmp_path / "out"))
+    assert stats["written"] == 2
+    assert stats["faces"] == 2 and stats["images"] == 2
+    for name in ("01001", "01002"):
+        for sfx in ("out", "pred", "mask"):
+            p = tmp_path / "out" / f"{name}-{sfx}.png"
+            assert p.is_file()
+            assert cv2.imread(str(p)).shape == (256, 256, 3)
+
+
+@pytest.mark.slow
+def test_pipeline_no_face_and_small_face_yield_none(tmp_path):
+    """Detector finding nothing, or a face below the min_face gate
+    (dataprocess.py:66), must yield None for that image while others
+    proceed."""
+    from blindshadowremoval_tpu.eval.e2e import DeshadowPipeline
+
+    cfg, variables = _gen_setup(tmp_path)
+    pipe = DeshadowPipeline(cfg, variables, batch_size=2)
+    rng = np.random.default_rng(5)
+    big = rng.uniform(0, 255, (900, 900, 3)).astype(np.uint8)
+    small = rng.uniform(0, 255, (300, 300, 3)).astype(np.uint8)
+    # landmarks spanning ~600 px pass the 250 px gate; ~80 px ones fail
+    lm_big = rng.uniform(150, 750, (68, 2)).astype(np.float32)
+    lm_small = rng.uniform(100, 180, (68, 2)).astype(np.float32)
+    res = pipe([big, small], landmarks=[lm_big, lm_small])
+    assert res[0] is not None and res[1] is None
+    assert pipe.last_times.faces == 1
+
+    # no detector, no landmarks -> loud error, not silent skip
+    with pytest.raises(ValueError, match="sfd_variables"):
+        pipe([big])
