@@ -93,6 +93,13 @@ def build_parser():
                                 "fixed-point (compact ingress is on by "
                                 "default for the CLI: 2x less tunnel "
                                 "traffic, metrics move < 0.001 dB)")
+            p.add_argument("--images-per-call", type=int, default=8,
+                           help="images per fused device call (tail padded; "
+                                "identical metrics to per-image). >1 "
+                                "amortizes the per-call tunnel round trip "
+                                "that dominates UCB-100 wall time; 1 "
+                                "restores the per-image path. Forced to 1 "
+                                "for the rgb simple-composite protocol")
             p.add_argument("--rgb-heuristics", action="store_true",
                            help="with --variant rgb, run the generalized "
                                 "heuristic post-processor instead of the "
@@ -316,9 +323,13 @@ def main(argv=None):
         InTheWildEvaluator(cfg, variables).run(ds)
     elif args.cmd == "ucb":
         ds = Dataset(cfg, "test", seed=args.seed)
+        rgb_heur = getattr(args, "rgb_heuristics", False)
+        ipc = args.images_per_call
+        if cfg.variant == "rgb" and not rgb_heur:
+            ipc = 1   # the simple-composite protocol has no fused step
         results = UCBEvaluator(cfg, variables).run(
-            ds, args.part_masks,
-            rgb_heuristics=getattr(args, "rgb_heuristics", False))
+            ds, args.part_masks, rgb_heuristics=rgb_heur,
+            images_per_call=ipc)
         ps = [r["psnr"] for r in results]
         ss = [r["ssim"] for r in results]
         print(f"UCB mean PSNR {np.mean(ps):.3f}  mean SSIM {np.mean(ss):.4f}")

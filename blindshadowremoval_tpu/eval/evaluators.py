@@ -223,7 +223,30 @@ class UCBEvaluator(Evaluator):
         return {k: _pad_to(np.round(_resize_np(v, size)), s)
                 for k, v in parts.items()}
 
-    def _ingress(self, batch: dict) -> dict:
+    def _fused_fwd(self, frame: int):
+        """The 4-tuple forward the fused step wraps: geometry rasterized
+        in-graph under config.device_geometry, host-rasterized maps
+        otherwise (reg dropped for gsc/rgb — those forwards never read it,
+        model.py:221)."""
+        s = self.config.img_size
+        if self._devgeo:
+            from blindshadowremoval_tpu.geometry.triangulation import (
+                device_geometry_maps,
+            )
+
+            def fwd(v, b):
+                maps = device_geometry_maps(
+                    b["lm"], b["face_pts"], b["uv_tris"],
+                    b["face_tris"], b["reg_tris"], s)
+                return self._apply_gen(v, b["img"], maps["uv"],
+                                       maps["reg"], frame, True)
+        else:
+            def fwd(v, b):
+                return self._apply_gen(v, b["img"], b["uv"],
+                                       b.get("reg"), frame, True)
+        return fwd
+
+    def _ingress(self, batch: dict, to_device: bool = True) -> dict:
         """Host->device payload for the fused step.
 
         Ships ONLY the keys the fused graph consumes: the GSC/RGB variants
@@ -251,7 +274,7 @@ class UCBEvaluator(Evaluator):
             if compact and k in ("img", "gt", "uv", "face"):
                 v = np.rint(np.clip(np.asarray(v), 0.0, 1.0)
                             * 65535.0).astype(np.uint16)
-            out[k] = jnp.asarray(v)
+            out[k] = jnp.asarray(v) if to_device else np.asarray(v)
         return out
 
     def run_one_fused(self, batch: dict, box: np.ndarray, name: str,
@@ -284,26 +307,9 @@ class UCBEvaluator(Evaluator):
         # old parameter values
         key = params
         if getattr(self, "_fused_params_key", None) != key:
-            if self._devgeo:
-                from blindshadowremoval_tpu.geometry.triangulation import (
-                    device_geometry_maps,
-                )
-
-                def fwd(v, b):
-                    maps = device_geometry_maps(
-                        b["lm"], b["face_pts"], b["uv_tris"],
-                        b["face_tris"], b["reg_tris"], s)
-                    return self._apply_gen(v, b["img"], maps["uv"],
-                                           maps["reg"], frame, True)
-            else:
-                def fwd(v, b):
-                    # reg is absent for gsc/rgb (_ingress drops it: those
-                    # forwards never read it) and the generators accept None
-                    return self._apply_gen(v, b["img"], b["uv"],
-                                           b.get("reg"), frame, True)
-
             self._fused_step = build_fused_ucb_step(
-                fwd, params, s, protocol="tsm" if is_tsm else "gsc")
+                self._fused_fwd(frame), params, s,
+                protocol="tsm" if is_tsm else "gsc")
             self._fused_params_key = key
         jbatch = self._ingress(batch)
         kept, out_u8, mp_u8, psnr, ssim = jax.device_get(self._fused_step(
@@ -325,6 +331,112 @@ class UCBEvaluator(Evaluator):
         self.logger.save_result_image(figs, name)
         return {"ssim": float(ssim), "psnr": float(psnr),
                 "pred": pred, "detected": detected}
+
+    def _stack_chunk(self, metas, jbs, sizes, pis, k):
+        """Pad a tail chunk's arrays to the warm k (repeating the last
+        element) and stack the per-image pieces into one device payload.
+        `metas` stays unpadded — padded lanes are never drained."""
+        pad = k - len(jbs)
+        jbs = jbs + [jbs[-1]] * pad
+        sizes = sizes + [sizes[-1]] * pad
+        pis = pis + [pis[-1]] * pad
+        stacked = {key: np.stack([b[key] for b in jbs]) for key in jbs[0]}
+        pi = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *pis)
+        return metas, stacked, np.asarray(sizes, np.float32), pi
+
+    def _drain_fused_chunk(self, metas, out, results: dict):
+        """Fetch one batched fused call's outputs and finish the real
+        (non-padded) lanes on host: panels, figure strip, metric display."""
+        s = self.config.img_size
+        is_tsm = self.config.variant == "tsm"
+        kept, out_u8, mp_u8, psnr, ssim = jax.device_get(out)
+        for j, (step, name, size, img0, gt0) in enumerate(metas):
+            pred = np.asarray(out_u8[j], np.float32) / 255.0
+            detected = np.repeat(np.asarray(kept[j], np.float32), 3, axis=2)
+            mp = np.repeat(np.asarray(mp_u8[j], np.float32) / 255.0, 3,
+                           axis=2)
+            tmp = img0 if is_tsm else _pad_to(_resize_np(img0, size), s)
+            gt_sc = _pad_to(_resize_np(gt0, size), s)
+            figs = [tmp[None], pred[None], mp[None] * 2, gt_sc[None],
+                    detected[None]]
+            self.logger.save_result_image(figs, name)
+            r = {"ssim": float(ssim[j]), "psnr": float(psnr[j]),
+                 "pred": pred, "detected": detected}
+            self.logger.display({"ssim": r["ssim"], "psnr": r["psnr"]},
+                                0, step, False, self._display_total)
+            results[step] = r
+
+    def run_fused_batched(self, dataset, part_mask_root: str,
+                          params: Optional[PostprocessParams] = None,
+                          images_per_call: int = 8,
+                          key_masks_by_name: bool = True) -> list:
+        """The k-image UCB eval: every `images_per_call` images run as ONE
+        fused device call (eval/fused.py:build_fused_ucb_batch_step), with
+        the NEXT chunk's host parse + upload overlapping the current chunk's
+        execution (prefetch thread + async dispatch before the previous
+        fetch).  Metrics/masks are identical to the per-image fused path —
+        the step is the same function under vmap (tests/test_fused_eval.py).
+
+        This exists because per-image calls serialize the ~1.1 MB/image
+        ingress through a remote tunnel (docs/perf.md "UCB eval"): one call
+        per k images pays the per-call latency once and lets the k*V view
+        forwards batch on the MXU.
+        """
+        from blindshadowremoval_tpu.eval.fused import (
+            build_fused_ucb_batch_step, prep_part_inputs)
+
+        s = self.config.img_size
+        is_tsm = self.config.variant == "tsm"
+        if params is None:
+            params = TSM_PARAMS if is_tsm else PostprocessParams()
+        frame = 1 if is_tsm else 4
+        k = images_per_call
+        self._display_total = len(dataset.name_list)
+        # cache by params VALUE, like run_one_fused (frozen dataclass)
+        if getattr(self, "_fused_batch_params_key", None) != params:
+            self._fused_batch_step = build_fused_ucb_batch_step(
+                self._fused_fwd(frame), params, s,
+                protocol="tsm" if is_tsm else "gsc")
+            self._fused_batch_params_key = params
+
+        def chunks():
+            metas, jbs, sizes, pis = [], [], [], []
+            for step, (batch, box, name) in enumerate(iter(dataset)):
+                parts = self._load_part_masks(
+                    part_mask_root, step,
+                    sample_name=name if key_masks_by_name else None)
+                size = int(min(box[3] - box[1], s))
+                pis.append(prep_part_inputs(
+                    parts if is_tsm else self._resized_parts(parts, size),
+                    params))
+                metas.append((step, name, size,
+                              np.asarray(batch["img"][0]),
+                              np.asarray(batch["gt"][0])))
+                jbs.append(self._ingress(batch, to_device=False))
+                sizes.append(size)
+                if len(jbs) == k:
+                    yield self._stack_chunk(metas, jbs, sizes, pis, k)
+                    metas, jbs, sizes, pis = [], [], [], []
+            if jbs:
+                yield self._stack_chunk(metas, jbs, sizes, pis, k)
+
+        results: dict = {}
+        pending = None
+        # chunk i+1's host parse (prefetch thread) and upload+dispatch both
+        # overlap chunk i's device execution: the fetch of i happens only
+        # after i+1 is already in flight
+        for metas, stacked, sizes, pi in prefetch(chunks()):
+            out = self._fused_batch_step(
+                self.variables,
+                {kk: jnp.asarray(v) for kk, v in stacked.items()},
+                jnp.asarray(sizes),
+                jax.tree_util.tree_map(jnp.asarray, pi))
+            if pending is not None:
+                self._drain_fused_chunk(*pending, results)
+            pending = (metas, out)
+        if pending is not None:
+            self._drain_fused_chunk(*pending, results)
+        return [results[i] for i in sorted(results)]
 
     def run_one_simple(self, batch: dict, box: np.ndarray, name: str,
                        parts: dict):
@@ -423,7 +535,7 @@ class UCBEvaluator(Evaluator):
     def run(self, dataset, part_mask_root: str,
             params: Optional[PostprocessParams] = None,
             fused: Optional[bool] = None, key_masks_by_name: bool = True,
-            rgb_heuristics: bool = False):
+            rgb_heuristics: bool = False, images_per_call: int = 1):
         """fused=None auto-selects the single-device-call path (run_one_fused,
         verified identical in tests/test_fused_eval.py) for both geometry
         modes.  Part masks pair by FILENAME by default
@@ -437,7 +549,20 @@ class UCBEvaluator(Evaluator):
         generalized heuristic pipeline (which feeds it a
         grayscale-difference shadow map); "tsm" runs the TSM protocol
         (run_one_tsm: full-res heuristics with TSM_PARAMS, frame=1).
-        params=None selects the variant's reference constants."""
+        params=None selects the variant's reference constants.
+        images_per_call>1 runs the fused path k images per device call
+        (run_fused_batched) — identical metrics, one tunnel round trip per
+        k images."""
+        if images_per_call > 1:
+            if (self.config.variant == "rgb" and not rgb_heuristics) or \
+                    fused is False:
+                raise ValueError(
+                    "images_per_call>1 requires the fused path (gsc/tsm "
+                    "protocols, or rgb with rgb_heuristics=True)")
+            return self.run_fused_batched(
+                dataset, part_mask_root, params=params,
+                images_per_call=images_per_call,
+                key_masks_by_name=key_masks_by_name)
         if self.config.variant == "rgb" and not rgb_heuristics:
             if params is not None:
                 raise ValueError(

@@ -241,19 +241,10 @@ def fused_postprocess(mask_pred: jax.Array, tmp: jax.Array, pi: Any,
     return kept
 
 
-def build_fused_ucb_step(forward_fn, params: PostprocessParams,
-                         img_size: int = 256, protocol: str = "gsc"):
-    """Returns a jitted fn(variables, batch, size, part_inputs) ->
-    (detected [S,S,1], composite [S,S,3] uint8, shadow map [S,S,1] uint8,
-    psnr, ssim) — one device call per image.  `forward_fn(variables,
-    batch)` must return the generator 4-tuple (gs, rgb, mask22, dif);
-    `batch` is the dataset's dict of view arrays (host-rasterized maps OR
-    device_geometry primitives — the forward decides), which must include
-    "img" and "gt".
-
-    protocol="tsm" fuses the structurally different TSM pipeline
-    (train_with_TSM.py:420-617): heuristics at full resolution against the
-    UNRESIZED part masks, composite BEFORE the resize-into-box."""
+def _make_ucb_step(forward_fn, params: PostprocessParams,
+                   img_size: int, protocol: str):
+    """The unjitted per-image fused step shared by the single-image and
+    batched builders."""
     s = img_size
 
     def step(variables, batch, size, pi):
@@ -293,4 +284,38 @@ def build_fused_ucb_step(forward_fn, params: PostprocessParams,
         mp_u8 = jnp.round(jnp.clip(mp, 0.0, 1.0) * 255.0).astype(jnp.uint8)
         return kept.astype(bool), out_u8, mp_u8, psnr, ssim
 
-    return jax.jit(step)
+    return step
+
+
+def build_fused_ucb_step(forward_fn, params: PostprocessParams,
+                         img_size: int = 256, protocol: str = "gsc"):
+    """Returns a jitted fn(variables, batch, size, part_inputs) ->
+    (detected [S,S,1], composite [S,S,3] uint8, shadow map [S,S,1] uint8,
+    psnr, ssim) — one device call per image.  `forward_fn(variables,
+    batch)` must return the generator 4-tuple (gs, rgb, mask22, dif);
+    `batch` is the dataset's dict of view arrays (host-rasterized maps OR
+    device_geometry primitives — the forward decides), which must include
+    "img" and "gt".
+
+    protocol="tsm" fuses the structurally different TSM pipeline
+    (train_with_TSM.py:420-617): heuristics at full resolution against the
+    UNRESIZED part masks, composite BEFORE the resize-into-box."""
+    return jax.jit(_make_ucb_step(forward_fn, params, img_size, protocol))
+
+
+def build_fused_ucb_batch_step(forward_fn, params: PostprocessParams,
+                               img_size: int = 256, protocol: str = "gsc"):
+    """The k-image twin of `build_fused_ucb_step`: every array input gains
+    a leading image axis (batch leaves [k,V,S,S,C], size [k], PartInputs
+    leaves [k,S,S,1]) and every output a leading [k].
+
+    vmap turns the per-image step into one device program over the stack —
+    the k generator forwards become one conv batch of k*V views on the MXU,
+    and the k heuristic/CC passes run as batched VPU work (the label-
+    propagation while_loop iterates until the slowest image converges).
+    One call per k images amortizes the per-call tunnel latency that
+    serializes UCB-100 wall time (docs/perf.md); the caller pads the tail
+    chunk to the warm k, so any image count runs through ONE executable.
+    """
+    step = _make_ucb_step(forward_fn, params, img_size, protocol)
+    return jax.jit(jax.vmap(step, in_axes=(None, 0, 0, 0)))

@@ -84,6 +84,44 @@ def test_fused_matches_host_pipeline(tmp_path):
 
 
 @needs_ref
+def test_fused_batched_matches_per_image(tmp_path):
+    """run(images_per_call=k): k images per device call through the vmapped
+    fused step (incl. a padded tail chunk) must reproduce the per-image
+    fused outputs bit-for-bit — same step function, vmapped."""
+    golden = np.load(os.path.join(os.path.dirname(__file__), "goldens",
+                                  "tf_ref", "e2e_eval.npz"))
+    gen = GSCGenerator()
+    z3 = np.zeros((1, 64, 64, 3), np.float32)
+    variables = gen.init(jax.random.PRNGKey(0), z3, z3,
+                         np.zeros((1, 64, 64, 6), np.float32))
+    weights = synthetic_tf_weights(variables, generator_mapping(), seed=0)
+    weights["generator/clr_conv3/conv/bias"] = (
+        weights["generator/clr_conv3/conv/bias"] + 0.5)
+    variables = load_weights_dict(weights, variables, generator_mapping())
+
+    cfg = get_config(
+        "ucb", data_dirs_test=(os.path.join(REF, "UCB", "train", "input", "*"),),
+        eval_views=1, compute_dtype="float32", part_mask_root=REF,
+        checkpoint_dir=str(tmp_path))
+    ds = Dataset(cfg, "test")
+    ev = UCBEvaluator(cfg, variables)
+
+    n = len(golden["ucb_names"])
+    # k=2 over an odd count exercises the padded tail chunk
+    batched = ev.run(ds, REF, images_per_call=2)[:n]
+
+    it = iter(ds)
+    for i in range(n):
+        batch, box, name = next(it)
+        parts = ev._load_part_masks(REF, i, sample_name=name)
+        one = ev.run_one_fused(batch, box, f"b1_{i}", parts)
+        assert (batched[i]["detected"] == one["detected"]).all(), i
+        np.testing.assert_array_equal(batched[i]["pred"], one["pred"])
+        assert abs(batched[i]["psnr"] - one["psnr"]) < 1e-3, i
+        assert abs(batched[i]["ssim"] - one["ssim"]) < 1e-5, i
+
+
+@needs_ref
 def test_fused_matches_host_pipeline_tsm(tmp_path):
     """protocol="tsm" fuses the TSM UCB pipeline (full-res heuristics, flat
     threshold, composite-before-resize, frame=1 anchor+mirror forward); it
