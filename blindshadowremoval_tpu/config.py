@@ -88,6 +88,12 @@ class Config:
                                            # bound; < 0 = dynamic per-sample
                                            # max (costs an extra bandwidth
                                            # pass; ops/quant.py)
+    int8_head_split: bool = False          # split-precision head: int8 for
+                                           # the `con` offset channel only,
+                                           # compute_dtype for the tanh-gain
+                                           # channel that feeds the dif>0.1
+                                           # binarization.  Measured — see
+                                           # docs/perf.md "Quality context"
     s2d_convs: bool = False                # compute the lane-starved 7x7
                                            # convs (conv1, output heads) via
                                            # 2x2 space-to-depth (identical

@@ -83,6 +83,19 @@ GSC_BRANCHES = (
 )
 
 
+# The gates live in the TSM protocol (train_with_TSM.py:420-617): its
+# pipeline is flat-threshold -> components -> nose veto, so only the
+# component filter and nose stages carry data-dependent branches.  The
+# branch-coverage goldens for the TSM protocol assert exactly this set
+# (tests/test_branch_goldens.py::test_tsm_branch_golden_parity_and_coverage).
+TSM_BRANCHES = (
+    "minfrac_drop", "hair_veto",                     # :530-541
+    "nose_band_0", "nose_band_1",                    # :561
+    "nose_band_2", "nose_band_3",
+    "nose_veto_short", "nose_veto_long",             # :562-565
+)
+
+
 # The TSM test_step's constants and stage set (train_with_TSM.py:420-617):
 # flat 0.01 threshold (adaptive blocks all commented out, :499-517), no
 # mustache/mouth suppression, components kept at >=0.6x the largest (:537),

@@ -22,6 +22,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 LEAKY_SLOPE = 0.3
@@ -42,6 +43,12 @@ class _Int8Conv(nn.Module):
     stride: int = 1
     static_scale: float | tuple = 0.0   # scalar, per-channel tuple, or
                                         # <= 0 for dynamic (ops/quant.py)
+    int8_channels: Optional[tuple] = None   # split precision: only these
+                                        # OUTPUT channels run int8, the
+                                        # rest get an exact conv in `dtype`
+                                        # (the split-head experiment,
+                                        # docs/perf.md "Quality context")
+    dtype: Any = jnp.float32            # dtype of the non-int8 channels
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -52,8 +59,24 @@ class _Int8Conv(nn.Module):
             (self.ksize, self.ksize, x.shape[-1], self.features))
         bias = self.param("bias", nn.initializers.zeros_init(),
                           (self.features,))
-        return int8_conv(x, kernel, bias, stride=self.stride,
-                         static_scale=self.static_scale)
+        if self.int8_channels is None:
+            return int8_conv(x, kernel, bias, stride=self.stride,
+                             static_scale=self.static_scale)
+        ch8 = list(self.int8_channels)
+        rest = [c for c in range(self.features) if c not in ch8]
+        y8 = int8_conv(x, kernel[..., ch8], bias[np.asarray(ch8)],
+                       stride=self.stride, static_scale=self.static_scale)
+        yr = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel[..., rest].astype(self.dtype),
+            window_strides=(self.stride, self.stride), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias[np.asarray(rest)].astype(self.dtype)
+        cols = [None] * self.features
+        for j, c in enumerate(ch8):
+            cols[c] = y8[..., j:j + 1].astype(self.dtype)
+        for j, c in enumerate(rest):
+            cols[c] = yr[..., j:j + 1]
+        return jnp.concatenate(cols, axis=-1)
 
 
 def s2d_kernel(kernel: jax.Array) -> jax.Array:
@@ -150,6 +173,9 @@ class ConvBlock(nn.Module):
                                # bound(s) for the int8 path: scalar or
                                # per-input-channel tuple (<= 0 = dynamic
                                # per-sample max)
+    quant_channels: Optional[tuple] = None   # split precision: int8 only
+                               # for these output channels, exact `dtype`
+                               # conv for the rest (same parameter tree)
     s2d: bool = False          # compute via 2x2 space-to-depth (lane-starved
                                # stride-1 convs: conv1 / output head)
     fold_bn: bool = False      # serving: BatchNorm folded into the conv's
@@ -163,6 +189,8 @@ class ConvBlock(nn.Module):
             # checkpoints interchange between the bf16 and int8 paths
             x = _Int8Conv(self.features, self.ksize, self.stride,
                           static_scale=self.quant_scale,
+                          int8_channels=self.quant_channels,
+                          dtype=self.dtype,
                           name="Conv_0")(x).astype(self.dtype)
         elif (self.s2d and self.stride == 1 and self.ksize % 2 == 1
                 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):

@@ -50,6 +50,12 @@ class GSCGenerator(nn.Module):
                               # dynamic per-sample max.  A static bound lets
                               # the quantize fuse into the producing fusion
                               # (ops/quant.py)
+    int8_head_split: bool = False   # split precision: only the offset
+                              # (`con`) channel runs int8; the tanh-gain
+                              # channel that feeds the dif>0.1 hole
+                              # binarization stays in `dtype`.  The
+                              # measured experiment from docs/perf.md
+                              # "Quality context" — see the numbers there
     s2d_convs: bool = False   # space-to-depth 7x7 convs — measured slower
                               # on v5e (see config.py); off by default
     fold_bn: bool = False     # serving: every BatchNorm is folded into its
@@ -95,8 +101,13 @@ class GSCGenerator(nn.Module):
         # MXU, so the merge halves the most expensive op in the model (the
         # TF bridge maps generator/conv{2,3} into slices of this kernel).
         head = ConvBlock(2, ksize=7, norm=None, act=False,
-                         quant_int8=self.int8_head, s2d=self.s2d_convs,
+                         quant_int8=self.int8_head or self.int8_head_split,
+                         s2d=self.s2d_convs,
                          quant_scale=self.int8_head_scale,
+                         # channel 1 is `con`; channel 0 (the tanh gain
+                         # feeding dif) stays exact under the split
+                         quant_channels=((1,) if self.int8_head_split
+                                         else None),
                          fold_bn=self.fold_bn, dtype=self.dtype, name="head")(y, train)
         mask = jnp.tanh(head[..., 0:1])
         con = head[..., 1:2]

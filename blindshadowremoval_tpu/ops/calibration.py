@@ -69,8 +69,8 @@ def calibrate_config(config, variables):
     some other checkpoint.  No-op otherwise."""
     import dataclasses
 
-    if (config.int8_head and config.int8_head_scale == 0.0
-            and config.variant != "rgb"):
+    if ((config.int8_head or getattr(config, "int8_head_split", False))
+            and config.int8_head_scale == 0.0 and config.variant != "rgb"):
         config = dataclasses.replace(
             config, int8_head_scale=head_input_bounds(variables))
     return config

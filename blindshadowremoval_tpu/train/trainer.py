@@ -82,6 +82,8 @@ def build_generator(config: Config, axis_name: Optional[str] = None):
                             egress_dtype=egress)
     return GSCGenerator(n_res=config.n_res, remat=config.remat,
                         int8_head=int8_head, int8_head_scale=head_scale,
+                        int8_head_split=getattr(config, "int8_head_split",
+                                                False),
                         fold_bn=fold_bn, s2d_convs=s2d, dtype=dtype,
                         egress_dtype=egress)
 

@@ -118,6 +118,124 @@ def _heuristics(ev, mp, tmp, parts, size, params, report=None):
         params, report=report)
 
 
+TSM_GOLDEN = os.path.join(os.path.dirname(__file__), "goldens", "tf_ref",
+                          "tsm_branch_cases.npz")
+
+needs_tsm_fixture = pytest.mark.skipif(
+    not (os.path.exists(TSM_GOLDEN)
+         and os.path.isdir(os.path.join(REF, "UCB"))),
+    reason="TSM branch fixture or reference data absent")
+
+
+@pytest.fixture(scope="module")
+def tsm_pipeline(tmp_path_factory):
+    """Bridged synthetic TSM evaluator + per-image full-res forward cache
+    (the TSM protocol runs its heuristics at 256², train_with_TSM.py:495)."""
+    from blindshadowremoval_tpu.models.generator_tsm import TSMGenerator
+
+    gen = TSMGenerator()
+    z3 = np.zeros((2, 64, 64, 3), np.float32)
+    variables = gen.init(jax.random.PRNGKey(0), z3, z3,
+                         np.zeros((2, 64, 64, 6), np.float32), frame=2)
+    weights = synthetic_tf_weights(variables, generator_mapping("tsm"),
+                                   seed=0)
+    weights["generator/clr_conv3/conv/bias"] = (
+        weights["generator/clr_conv3/conv/bias"] + 0.5)
+    variables = load_weights_dict(weights, variables,
+                                  generator_mapping("tsm"))
+    cfg = get_config(
+        "ucb", variant="tsm",
+        data_dirs_test=(os.path.join(REF, "UCB", "train", "input", "*"),),
+        compute_dtype="float32", part_mask_root=REF,
+        checkpoint_dir=str(tmp_path_factory.mktemp("tsm_branch")))
+    ev = UCBEvaluator(cfg, variables)
+    it = iter(Dataset(cfg, "test"))
+    state = {"next": 0, "cache": {}}
+
+    def prepped(idx: int):
+        while state["next"] <= idx:
+            batch, _, _ = next(it)
+            _, rgb, _, mask_pred, _ = ev.forward(batch, frame=1)
+            tmp = np.asarray(batch["img"][0], np.float32)
+            pred = np.asarray(rgb[0], np.float32)   # raw (:583)
+            mp = np.asarray(mask_pred[0], np.float32)
+            mp = np.repeat(mp, 3, axis=2) if mp.shape[2] == 1 else mp
+            state["cache"][state["next"]] = (pred, mp, tmp)
+            state["next"] += 1
+        return state["cache"][idx]
+
+    return ev, prepped
+
+
+def _tsm_heuristics(mp, tmp, parts, params, report=None):
+    """Full-res TSM heuristics: the part masks are NOT resized
+    (train_with_TSM.py:455-469 commented out)."""
+    return ucb_postprocess(
+        mp, tmp, parts["face_hair"], parts["face_no_hair"], parts["mouth"],
+        parts["nose"], parts["eyebrow"], parts["eye"], parts["glasses"],
+        params, report=report)
+
+
+@needs_tsm_fixture
+def test_tsm_branch_golden_parity_and_coverage(tsm_pipeline):
+    """Every TSM-protocol gate (the 0.6 min-frac drop, hair veto, all four
+    nose-fraction bands, both veto reaches — train_with_TSM.py:536-565)
+    certified against the reference's own TSM test_step."""
+    from blindshadowremoval_tpu.eval.postprocess import (TSM_BRANCHES,
+                                                         TSM_PARAMS)
+
+    golden = np.load(TSM_GOLDEN)
+    ev, prepped = tsm_pipeline
+    case_ids = [str(c) for c in golden["case_ids"]]
+    assert case_ids, "empty fixture"
+    covered = set()
+    for cid in case_ids:
+        idx = int(golden[f"{cid}_image_idx"])
+        box = np.asarray(golden[f"{cid}_box"], np.float32)
+        rects = np.asarray(golden[f"{cid}_rects"], np.int32).reshape(-1, 6)
+        branches = [str(b) for b in golden[f"{cid}_branches"]]
+
+        pred, mp, tmp = prepped(idx)
+        # positional pairing replays the fixture generator's iteration order
+        parts = ev._load_part_masks(REF, idx)
+        if len(rects):
+            parts = apply_rects(parts, rects)
+        report = {}
+        detected, _ = _tsm_heuristics(mp, tmp, parts, TSM_PARAMS,
+                                      report=report)
+        # composite at full res, clip, THEN resize into the box + pad
+        # (train_with_TSM.py:583,592-593)
+        size = int(min(box[3] - box[1], 256))
+        out = np.clip(pred * detected + tmp * (1.0 - detected), 0.0, 1.0)
+        out = _pad_to(_resize_np(out, size), 256)
+
+        ref_detected = np.unpackbits(
+            golden[f"{cid}_detected"])[:256 * 256].reshape(256, 256)
+        mine = (detected[..., 0] > 0.5).astype(np.uint8)
+        disagree = float(np.mean(mine != ref_detected))
+        psnr_comp = _psnr(out, golden[f"{cid}_composite"])
+        print(f"{cid} (image {idx}, {len(rects)} rects): "
+              f"disagree {disagree:.4f}, composite {psnr_comp:.2f} dB, "
+              f"branches {branches}")
+        assert disagree <= 0.01, f"{cid} detected mask {disagree:.4f}"
+        assert psnr_comp >= 40.0, f"{cid} composite {psnr_comp:.2f} dB"
+
+        for b in branches:
+            assert report.get(b, False), \
+                f"{cid}: fixture certifies {b} but the report says it " \
+                f"did not fire"
+            off, _ = _tsm_heuristics(mp, tmp, parts,
+                                     disable_branch(TSM_PARAMS, b))
+            assert np.any(detected != off), \
+                f"{cid}: disabling {b} does not change the output"
+        covered |= set(branches)
+
+    missing = [b for b in TSM_BRANCHES if b not in covered]
+    print(f"TSM branch coverage {len(covered)}/{len(TSM_BRANCHES)}; "
+          f"missing: {missing}")
+    assert not missing, f"golden-untested TSM heuristic branches: {missing}"
+
+
 @needs_fixture
 def test_branch_golden_parity_and_coverage(golden, pipeline):
     evaluator, prepped = pipeline

@@ -63,6 +63,52 @@ def test_int8_head_checkpoint_interchange(rng):
     assert np.isfinite(np.asarray(dif8)).all()
 
 
+def test_int8_head_split_semantics(rng):
+    """int8_head_split: identical parameter tree; the tanh-gain channel
+    (head ch 0) is EXACT vs the float path while only `con` (ch 1) carries
+    int8 noise — so `gs - gray` holes can only move through con."""
+    from blindshadowremoval_tpu.models.blocks import _Int8Conv
+    from blindshadowremoval_tpu.models.generator import GSCGenerator
+    from blindshadowremoval_tpu.ops.quant import int8_conv
+
+    # module level: split conv == exact conv on the excluded channel,
+    # == int8_conv on the quantized one
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 16, 16, 8)).astype(np.float32))
+    m = _Int8Conv(2, 7, int8_channels=(1,))
+    v = m.init(jax.random.PRNGKey(1), x)
+    y = m.apply(v, x)
+    w, b = v["params"]["kernel"], v["params"]["bias"]
+    exact = jax.lax.conv_general_dilated(
+        x, w[..., 0:1], (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b[0]
+    q = int8_conv(x, w[..., 1:2], b[1:2])
+    np.testing.assert_allclose(np.asarray(y[..., 0:1]), np.asarray(exact),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(y[..., 1:2]), np.asarray(q),
+                               atol=1e-6)
+
+    # model level: same tree, outputs finite and close to float
+    s = 32
+    img = jnp.asarray(rng.uniform(size=(1, s, s, 3)).astype(np.float32))
+    uv = jnp.asarray(rng.uniform(size=(1, s, s, 3)).astype(np.float32))
+    reg = jnp.asarray(
+        rng.uniform(-0.02, 0.02, size=(1, s, s, 6)).astype(np.float32))
+    g0 = GSCGenerator()
+    gsplit = GSCGenerator(int8_head_split=True)
+    vg = g0.init(jax.random.PRNGKey(0), img, uv, reg)
+    assert jax.tree.structure(vg) == jax.tree.structure(
+        jax.eval_shape(lambda k: gsplit.init(k, img, uv, reg),
+                       jax.random.PRNGKey(0)))
+    gs0, rgb0, m220, dif0 = g0.apply(vg, img, uv, reg)
+    gs1, rgb1, m221, dif1 = gsplit.apply(vg, img, uv, reg)
+    # mask22 is a pure function of the tanh-gain channel => exact
+    np.testing.assert_allclose(np.asarray(m221), np.asarray(m220),
+                               atol=1e-6)
+    mse = float(jnp.mean((rgb0 - rgb1) ** 2))
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 45.0, psnr
+
+
 def test_int8_conv_straight_through_gradients(rng):
     """The STE backward must match the float-conv gradient (round/clip/int
     cast would otherwise zero it almost everywhere, silently breaking any

@@ -75,6 +75,13 @@ CONFIGS = {
                                egress_dtype="bfloat16", int8_head=True,
                                int8_head_scale=0.0,   # 0.0 = AUTO
                                precision="default"),
+    # split precision (VERDICT r3 #5): int8 only for the `con` offset
+    # channel, bf16 for the tanh-gain channel feeding the dif>0.1 holes
+    "bf16+fold+int8split": dict(compute_dtype="bfloat16", fold_bn=True,
+                                egress_dtype="bfloat16", int8_head=False,
+                                int8_head_split=True,
+                                int8_head_scale=0.0,   # 0.0 = AUTO
+                                precision="default"),
 }
 
 
