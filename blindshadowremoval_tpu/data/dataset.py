@@ -233,19 +233,26 @@ class Dataset:
         gt0 = _imread_rgb(gt_path)
         gt, lm, lm_mirror, _ = face_crop_and_resize(
             gt0, np.load(lm_path), s, aug=True, rng=rng)
+        devgeo = getattr(cfg, "device_geometry", False)
+        # devgeo ships the UNGATED occluder mask and no host face map: the
+        # train step rasterizes the face in-graph (identical numerics) and
+        # gates there — the host rasterization was ~15 ms/sample
         gt, img_dark, mask, _, face = shadow_synthesis_host(
-            gt, lm, 0.0, mask_dir=cfg.shadow_mask_dir or None, rng=rng)
-        if getattr(cfg, "device_geometry", False):
+            gt, lm, 0.0, mask_dir=cfg.shadow_mask_dir or None, rng=rng,
+            rasterize_face=not devgeo)
+        if devgeo:
             g = _geometry_primitives(lm)
             gm = _geometry_primitives(lm_mirror)
         else:
             g = _geometry(lm, s)
             gm = _geometry(lm_mirror, s)
 
-        view0 = {"img_dark": img_dark, "gt": gt, "mask": mask[..., :1],
-                 "face": face[..., :1], **g}
+        view0 = {"img_dark": img_dark, "gt": gt, "mask": mask[..., :1], **g}
         view1 = {"img_dark": img_dark[:, ::-1], "gt": gt[:, ::-1],
-                 "mask": mask[:, ::-1, :1], "face": face[:, ::-1, :1], **gm}
+                 "mask": mask[:, ::-1, :1], **gm}
+        if not devgeo:
+            view0["face"] = face[..., :1]
+            view1["face"] = face[:, ::-1, :1]
         return {k: np.stack([view0[k], view1[k]]).astype(
                     np.int32 if k.endswith("_tris") else np.float32)
                 for k in view0}

@@ -92,11 +92,19 @@ class ShadowMaker:
     renders the mask at time t so video clips get coherent moving shadows.
     """
 
-    def __init__(self, face: np.ndarray, lm: np.ndarray,
+    def __init__(self, face: Optional[np.ndarray], lm: np.ndarray,
                  mask_dir: Optional[str] = None,
-                 rng: Optional[np.random.Generator] = None):
+                 rng: Optional[np.random.Generator] = None,
+                 size: Optional[int] = None):
+        """`face=None` (with `size`) skips the face gating: compute_mask
+        returns the raw occluder canvas and the caller multiplies by its
+        own face map — the device_geometry train path, where the face
+        region is rasterized IN-GRAPH (identical numerics,
+        tests/test_device_geometry.py) and a host rasterization would be
+        pure duplicate work (~15 ms/sample on a 1-core host)."""
         self.rng = rng if rng is not None else np.random.default_rng()
         self.face = face
+        self.size = face.shape[0] if face is not None else int(size)
         self.lm = lm
         self.motion = self.rng.integers(1, 3)          # 1 trans, 2 shake
         self.spd_x = self.rng.uniform(0.1, 10.0)
@@ -117,7 +125,7 @@ class ShadowMaker:
         import cv2
 
         path = files[int(self.rng.integers(0, len(files)))]
-        return cv2.imread(path, 0) / 255.0
+        return (cv2.imread(path, 0) / 255.0).astype(np.float32)
 
     # class-level pool of procedural occluder masks: each mask is randomly
     # scaled / rotated / blurred / translated downstream, so drawing from a
@@ -133,7 +141,10 @@ class ShadowMaker:
         key = jax.random.PRNGKey(int(self.rng.integers(0, 2 ** 31)))
         with jax.default_device(host_cpu_device()):
             pm = np.asarray(render_perlin_mask(key, (256, 256)))[..., 0]
-        return (pm > 0.5).astype(np.float64)
+        # float32 end to end: the reference's float64 numpy default doubles
+        # every cv2 resize/blur/rotate and copy in the hot parse path for
+        # an augmentation mask that is box-blurred anyway
+        return (pm > 0.5).astype(np.float32)
 
     def _procedural_mask(self) -> np.ndarray:
         """Perlin-thresholded occluder when no mask library is configured."""
@@ -156,7 +167,7 @@ class ShadowMaker:
         if self.rng.uniform(0.0, 1.0) > 0.75:
             mask = 1.0 - mask
 
-        lm = self.lm * self.face.shape[0]
+        lm = self.lm * self.size
         lmp = forehead_points(lm, 0.6)
         lm = np.concatenate([lm, lmp], axis=0)
 
@@ -189,9 +200,10 @@ class ShadowMaker:
     # -- api -----------------------------------------------------------
     def compute_mask(self, time: float):
         """Render the (mask * face, face) pair at time step `time`
-        (utils.py:981-1013)."""
+        (utils.py:981-1013).  With face=None the ungated canvas is
+        returned (see __init__)."""
         face = self.face
-        fh, fw = face.shape[0], face.shape[1]
+        fh = fw = self.size
         ms = self.mask_shape
         cx = int(self.mask_center[0] + self.spd_x * time)
         cy = int(self.mask_center[1] + self.spd_y * time)
@@ -209,34 +221,49 @@ class ShadowMaker:
             mbox[3] = ms - (box[3] - fh)
         box = [max(box[0], 0), max(box[1], 0), min(box[2], fw), min(box[3], fh)]
 
-        canvas = np.zeros((fh, fw, face.shape[2]))
+        canvas = np.zeros(
+            (fh, fw, face.shape[2] if face is not None else 1), np.float32)
         canvas[box[1]:box[3], box[0]:box[2], :] = \
             self.mask[mbox[1]:mbox[3], mbox[0]:mbox[2], :]
+        if face is None:
+            return canvas, None
         return canvas * face, face
 
 
 def shadow_synthesis_host(gt: np.ndarray, lm: np.ndarray, time: float = 0.0,
                           mask_dir: Optional[str] = None,
                           rng: Optional[np.random.Generator] = None,
-                          seed: Optional[int] = None):
+                          seed: Optional[int] = None,
+                          rasterize_face: bool = True):
     """Full host-side pair synthesis (utils.py:1025-1055).
 
     Returns (img, img_dark, mask, color_matrix, face): the color-jittered
     face, its globally darkened twin, the external shadow mask, the 3x3 CTM,
     and the soft face region.
-    """
-    from blindshadowremoval_tpu.geometry.triangulation import generate_face_region
 
+    `rasterize_face=False` skips the host face rasterization and returns
+    (img, img_dark, UNGATED mask, ctm, None) — the device_geometry train
+    path gates `mask` by the in-graph face map instead (train/trainer.py),
+    which is numerically identical and saves the most expensive remaining
+    host-parse item on a small host (docs/perf.md "Host data pipeline").
+    """
     rng = rng if rng is not None else np.random.default_rng(seed)
     width = gt.shape[0]
-    face = generate_face_region(lm, width)
+    if rasterize_face:
+        from blindshadowremoval_tpu.geometry.triangulation import (
+            generate_face_region,
+        )
+
+        face = generate_face_region(lm, width)
+    else:
+        face = None
 
     key = jax.random.PRNGKey(int(rng.integers(0, 2 ** 31)))
     with jax.default_device(host_cpu_device()):
         img, img_dark, ctm = _face_darken_jit(key, jnp.asarray(gt, jnp.float32))
 
-    maker = ShadowMaker(face, lm, mask_dir=mask_dir, rng=rng)
+    maker = ShadowMaker(face, lm, mask_dir=mask_dir, rng=rng, size=width)
     mask, face = maker.compute_mask(time)
     return (np.asarray(img), np.asarray(img_dark),
             mask.astype(np.float32), np.asarray(ctm),
-            face.astype(np.float32))
+            face.astype(np.float32) if face is not None else None)

@@ -89,9 +89,13 @@ class DeshadowPipeline:
         if fan_variables is not None:
             from blindshadowremoval_tpu.models.fan import LandmarkAligner
 
+            # uint8 crop ingress: the align stage is upload-bound on a
+            # remote chip and the 1/255 step sits inside the crop's own
+            # resample noise (models/fan.py)
             self.aligner = LandmarkAligner(fan_variables,
                                            num_modules=fan_modules,
-                                           batch_size=fan_batch, dtype=dt)
+                                           batch_size=fan_batch, dtype=dt,
+                                           ingress_u8=True)
         self.service = service or ShadowRemovalService(
             config, gen_variables, **service_kwargs)
         self.last_times = StageTimes()

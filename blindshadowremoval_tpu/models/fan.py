@@ -286,14 +286,28 @@ class LandmarkAligner:
 
     def __init__(self, variables, num_modules: int = 4,
                  batch_size: int = 16, dtype: Any = jnp.float32,
-                 warm: bool = True):
+                 ingress_u8: bool = False, warm: bool = True):
         self.variables = variables
         self.batch_size = batch_size
+        # ingress_u8: ship crops as uint8 fixed-point (1/255 step,
+        # dequantized in-graph) — 4x fewer host->device bytes, which is
+        # what bounds the align stage on a remote-attached chip
+        # (docs/perf.md "Landmark stage").  The 1/255 input quantization is
+        # within the interpolated crop's own resample noise but can move
+        # the sub-pixel decode nudge, so the exact-contract default is f32.
+        self.ingress_u8 = ingress_u8
         fan = FAN(num_modules=num_modules, dtype=dtype)
-        self._apply = jax.jit(
-            lambda v, x: decode_heatmaps(fan.apply(v, x)[-1]))
+        if ingress_u8:
+            def apply(v, x):
+                return decode_heatmaps(
+                    fan.apply(v, x.astype(jnp.float32) / 255.0)[-1])
+        else:
+            def apply(v, x):
+                return decode_heatmaps(fan.apply(v, x)[-1])
+        self._apply = jax.jit(apply)
         if warm:
-            z = jnp.zeros((batch_size, INPUT_RES, INPUT_RES, 3), jnp.float32)
+            z = jnp.zeros((batch_size, INPUT_RES, INPUT_RES, 3),
+                          jnp.uint8 if ingress_u8 else jnp.float32)
             jax.block_until_ready(self._apply(self.variables, z))
 
     def __call__(self, images, boxes) -> list[np.ndarray]:
@@ -307,10 +321,13 @@ class LandmarkAligner:
             n = len(chunk)
             crops = np.stack([crop_for_fan(np.asarray(im), c, s)
                               for im, (c, s) in chunk])
+            if self.ingress_u8:
+                crops = np.rint(np.clip(crops, 0.0, 1.0)
+                                * 255.0).astype(np.uint8)
             if n < bs:
                 crops = np.concatenate(
                     [crops, np.zeros((bs - n,) + crops.shape[1:],
-                                     np.float32)])
+                                     crops.dtype)])
             pts = np.asarray(self._apply(self.variables,
                                          jnp.asarray(crops)))[:n]
             for (im, (c, s)), p in zip(chunk, pts):

@@ -236,11 +236,17 @@ class Trainer:
                 batch["lm"], batch["face_pts"], batch["uv_tris"],
                 batch["face_tris"], batch["reg_tris"], cfg.img_size)
             uv, reg, face = maps["uv"], maps["reg"], maps["face"]
+            # the devgeo loader ships the occluder mask UNGATED (no host
+            # face rasterization); gate by the in-graph face here —
+            # identical numerics to the host path's canvas * face
+            # (utils.py:1013)
+            ext_mask = batch["mask"] * face
         else:
             uv, reg, face = batch["uv"], batch["reg"], batch["face"]
+            ext_mask = batch["mask"]
 
         img, mask_sv, _ = compose_shadow_image(
-            k_comp, batch["mask"], gt, img_dark, face)
+            k_comp, ext_mask, gt, img_dark, face)
         if train:
             img = self._mirror_consistency(k_mirror, img)
         else:

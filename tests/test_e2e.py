@@ -94,6 +94,34 @@ def test_landmark_aligner_matches_per_image_path():
         np.testing.assert_allclose(g, want, rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.slow
+def test_landmark_aligner_u8_ingress_exact_on_integer_crops():
+    """ingress_u8 ships crops as uint8 fixed-point dequantized in-graph.
+    When the crop is integer-valued (box aligned to the input so the
+    resample is the identity) the round trip is lossless and the decoded
+    landmarks must equal the f32 path bit-for-bit — certifying the
+    quantize/dequantize plumbing.  (On interpolated crops the 1/255 step
+    can move the sub-pixel decode nudge; a random network's near-flat
+    heatmaps amplify that arbitrarily, so closeness there is untestable —
+    the f32 default remains the exact-contract path.)"""
+    from blindshadowremoval_tpu.models import fan
+
+    m = fan.FAN(num_modules=1)
+    variables = m.init(jax.random.PRNGKey(1),
+                       jnp.zeros((1, fan.INPUT_RES, fan.INPUT_RES, 3)))
+    rng = np.random.default_rng(6)
+    a32 = fan.LandmarkAligner(variables, num_modules=1, batch_size=1,
+                              warm=False)
+    au8 = fan.LandmarkAligner(variables, num_modules=1, batch_size=1,
+                              ingress_u8=True, warm=False)
+    crops_u8 = rng.integers(0, 256, (1, fan.INPUT_RES, fan.INPUT_RES, 3),
+                            dtype=np.uint8)
+    p32 = np.asarray(a32._apply(variables,
+                                jnp.asarray(crops_u8, jnp.float32) / 255.0))
+    pu8 = np.asarray(au8._apply(variables, jnp.asarray(crops_u8)))
+    np.testing.assert_array_equal(p32, pu8)
+
+
 # ------------------------------------------------------------ pipeline
 
 def _gen_setup(tmp_path):
