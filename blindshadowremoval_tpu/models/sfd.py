@@ -138,7 +138,16 @@ def decode_detections(outs, score_thresh: float = 0.05,
                                score[hi, wi]], axis=1))
     if not boxes:
         return np.zeros((0, 5), np.float32)
-    return np.concatenate(boxes, axis=0).astype(np.float32)
+    return _canonical_order(np.concatenate(boxes, axis=0))
+
+
+def _canonical_order(boxes: np.ndarray) -> np.ndarray:
+    """Sort candidates by (score desc, x1, y1): greedy NMS tie-breaking is
+    input-order-dependent for EXACTLY tied scores (constant letterbox
+    padding produces them), so the dense and top-k decoders impose the
+    same canonical order to stay bit-equivalent."""
+    order = np.lexsort((boxes[:, 1], boxes[:, 0], -boxes[:, 4]))
+    return boxes[order].astype(np.float32)
 
 
 def nms(dets: np.ndarray, thresh: float = 0.3) -> np.ndarray:
@@ -227,25 +236,83 @@ class FaceDetector:
 
     def __init__(self, variables, det_size: int = 640, batch_size: int = 4,
                  dtype: Any = jnp.float32, filter_threshold: float = 0.5,
-                 score_thresh: float = 0.05, warm: bool = True):
+                 score_thresh: float = 0.05, topk: int = 256,
+                 warm: bool = True):
         self.variables = variables
         self.det_size = det_size
         self.batch_size = batch_size
         self.filter_threshold = filter_threshold
-        # anchor-candidate floor fed to decode_detections (face_alignment's
-        # 0.05 default); benches on random-init weights raise it so the
-        # host NMS sees a realistic candidate count
+        # anchor-candidate floor (face_alignment's 0.05 default); benches
+        # on random-init weights raise it so the host NMS sees a realistic
+        # candidate count
         self.score_thresh = score_thresh
+        self.topk = topk
         net = S3FD(dtype=dtype)
         # mean subtraction in-graph: the canvas uploads RAW (uint8 for
         # uint8 frames — 4x fewer wire bytes; f32→uint8 conversion of an
         # integer canvas is exact, so this matches host `preprocess`)
         mean = jnp.asarray(_MEAN, jnp.float32)
-        self._apply = jax.jit(
-            lambda v, x: net.apply(v, x.astype(jnp.float32) - mean))
+
+        def apply(v, x):
+            outs = net.apply(v, x.astype(jnp.float32) - mean)
+            # compact egress: the full head maps are ~0.9 MB/image of
+            # device->host traffic (the serving bottleneck on a remote
+            # chip); fetch only each scale's top-k candidates instead
+            # (~topk * 6 floats/image).  Identical to the dense decode
+            # whenever fewer than k anchors clear the score floor — true
+            # for real faces at face_alignment's 0.05 (a face yields tens
+            # of candidates per scale, not hundreds).
+            cands = []
+            for conf, loc in outs:
+                b = conf.shape[0]
+                score = conf[..., 1].reshape(b, -1).astype(jnp.float32)
+                k = min(self.topk, score.shape[1])
+                val, idx = jax.lax.top_k(score, k)
+                sel = jnp.take_along_axis(
+                    loc.reshape(b, -1, 4).astype(jnp.float32),
+                    idx[..., None], axis=1)
+                cands.append((val, idx.astype(jnp.int32), sel))
+            return cands
+
+        # head spatial widths for unflattening idx, from shape inference
+        shapes = jax.eval_shape(
+            net.apply, variables,
+            jax.ShapeDtypeStruct((batch_size, det_size, det_size, 3),
+                                 jnp.float32))
+        self._head_ws = [conf.shape[2] for conf, _ in shapes]
+        self._apply = jax.jit(apply)
         if warm:
             z = jnp.zeros((batch_size, det_size, det_size, 3), jnp.uint8)
             jax.block_until_ready(self._apply(self.variables, z))
+
+    def _decode_topk(self, cands, index: int) -> np.ndarray:
+        """Per-scale (scores, flat indices, locs) -> [N, 5] candidates
+        above score_thresh — decode_detections' anchor math over the
+        device-side top-k instead of the dense grid."""
+        boxes = []
+        for i, (val, idx, sel) in enumerate(cands):
+            stride = 2 ** (i + 2)
+            ws = self._head_ws[i]
+            v = np.asarray(val[index])
+            keep = v > self.score_thresh
+            if not keep.any():
+                continue
+            flat = np.asarray(idx[index])[keep]
+            l = np.asarray(sel[index])[keep]
+            hi, wi = flat // ws, flat % ws
+            acx = stride / 2.0 + wi * stride
+            acy = stride / 2.0 + hi * stride
+            side = stride * 4.0
+            cx = acx + l[:, 0] * _VARIANCES[0] * side
+            cy = acy + l[:, 1] * _VARIANCES[0] * side
+            w = side * np.exp(l[:, 2] * _VARIANCES[1])
+            h = side * np.exp(l[:, 3] * _VARIANCES[1])
+            boxes.append(np.stack([cx - w / 2, cy - h / 2,
+                                   cx + w / 2, cy + h / 2,
+                                   v[keep]], axis=1))
+        if not boxes:
+            return np.zeros((0, 5), np.float32)
+        return _canonical_order(np.concatenate(boxes, axis=0))
 
     def __call__(self, images) -> list[np.ndarray]:
         """RGB frames (any sizes) -> per-image [N, 5] boxes (x1, y1, x2,
@@ -261,10 +328,10 @@ class FaceDetector:
                 batch = np.concatenate(
                     [batch, np.zeros((bs - n,) + batch.shape[1:],
                                      batch.dtype)])
-            outs = jax.device_get(self._apply(self.variables,
-                                              jnp.asarray(batch)))
+            cands = jax.device_get(self._apply(self.variables,
+                                               jnp.asarray(batch)))
             for i in range(n):
-                dets = decode_detections(outs, self.score_thresh, index=i)
+                dets = self._decode_topk(cands, index=i)
                 dets = dets[nms(dets)]
                 dets = dets[dets[:, 4] > self.filter_threshold]
                 dets[:, :4] /= pairs[i][1]     # back to original coords
