@@ -143,6 +143,15 @@ def build_parser():
                         "the --select-best probe")
     p.add_argument("--probe-images", type=int, default=20,
                    help="images in the --select-best probe subset")
+    p.add_argument("--probe-metric", default="psnr",
+                   choices=["psnr", "auc"],
+                   help="quality axis for --select-best: 'psnr' probes a "
+                        "UCB subset (fused eval; needs --probe-part-masks); "
+                        "'auc' probes SFW shadow-segmentation ROC-AUC "
+                        "against *_label.png ground truth — the TSM "
+                        "variant's native metric (--probe-data points at "
+                        "an SFW-format dir glob; "
+                        "tools/make_sfw_eval_set.py builds one)")
     _add_common(p)
 
     p = sub.add_parser("preprocess",
@@ -263,12 +272,17 @@ def main(argv=None):
             log_every_steps=args.log_every,
             device_geometry=args.device_geometry)
         if args.select_best:
-            if not (args.probe_data and args.probe_part_masks):
-                print("--select-best needs --probe-data and "
-                      "--probe-part-masks", file=sys.stderr)
+            needs_masks = getattr(args, "probe_metric", "psnr") == "psnr"
+            if not args.probe_data or (needs_masks
+                                       and not args.probe_part_masks):
+                print("--select-best needs --probe-data"
+                      + (" and --probe-part-masks"
+                         if needs_masks else " (an SFW-format dir glob)"),
+                      file=sys.stderr)
                 return 2
-            overrides.update(data_dirs_test=(args.probe_data,),
-                             part_mask_root=args.probe_part_masks)
+            overrides["data_dirs_test"] = (args.probe_data,)
+            if args.probe_part_masks:
+                overrides["part_mask_root"] = args.probe_part_masks
     else:
         overrides["data_dirs_test"] = (args.data,)
         if getattr(args, "eval_views", None) is not None:
@@ -405,7 +419,8 @@ def run_train(cfg, args):
     ds_val = Dataset(cfg, "val", seed=args.seed + 1) if cfg.data_dirs_val else None
     fit(cfg, ds_train, ds_val, trainer=trainer,
         select_best=getattr(args, "select_best", False),
-        probe_images=getattr(args, "probe_images", 20))
+        probe_images=getattr(args, "probe_images", 20),
+        probe_metric=getattr(args, "probe_metric", "psnr"))
     return 0
 
 

@@ -53,6 +53,9 @@ class _UCBProbe:
     device calls per epoch.
     """
 
+    metric_name = "PSNR"
+    metric_unit = "dB"
+
     def __init__(self, config: Config, n_images: int = 20):
         from blindshadowremoval_tpu.data.dataset import Dataset
         from blindshadowremoval_tpu.eval.evaluators import UCBEvaluator
@@ -85,9 +88,68 @@ class _UCBProbe:
         return float(sum(psnrs) / len(psnrs))
 
 
+class _SFWProbe:
+    """Per-epoch SFW shadow-segmentation AUC probe for best-checkpoint
+    selection — the quality axis the reference's TSM variant is actually
+    evaluated on (testsfw pixel ROC-AUC of the predicted shadow map against
+    `*_label.png` class 2, train_with_TSM.py:619-707).
+
+    Frames parse once from an SFW-contract directory (config.data_dirs_test;
+    tools/make_sfw_eval_set.py synthesizes one with exact labels) and cache;
+    per epoch only the shared evaluator's variables swap, so each probe is
+    one jitted forward + one on-device AUC per frame — no metric-irrelevant
+    SSIM/figure work from SFWEvaluator.run_one.
+    """
+
+    metric_name = "AUC"
+    metric_unit = ""
+
+    def __init__(self, config: Config, n_images: int = 20):
+        from blindshadowremoval_tpu.data.dataset import Dataset
+        from blindshadowremoval_tpu.eval.evaluators import SFWEvaluator
+
+        probe_cfg = dataclasses.replace(
+            config, mode="sfw", fold_bn=False, int8_head=False,
+            int8_head_split=False, egress_dtype="float32")
+        if not probe_cfg.data_dirs_test:
+            raise ValueError(
+                "select_best with probe_metric='auc' needs "
+                "config.data_dirs_test pointing at an SFW-format directory "
+                "glob (tools/make_sfw_eval_set.py builds one with exact "
+                "synthesized labels)")
+        ds = Dataset(probe_cfg, "test", dset="sfw")
+        if not ds.name_list:
+            raise ValueError(
+                f"no SFW frames ({probe_cfg.data_dirs_test!r} matched "
+                "nothing with the <frame>_label.png contract)")
+        self._ev = SFWEvaluator(probe_cfg, variables=None)
+        it = iter(ds)
+        self._batches = [next(it)
+                         for _ in range(min(n_images, len(ds.name_list)))]
+        from blindshadowremoval_tpu.ops.auc import roc_auc_with_sentinels
+
+        self._auc = jax.jit(roc_auc_with_sentinels)
+
+    def __call__(self, state) -> float:
+        import numpy as np
+
+        self._ev.variables = {"params": state.gen_params,
+                              "batch_stats": state.gen_stats}
+        aucs = []
+        for batch, _box, _name in self._batches:
+            _, _, _, mask_pred, face = self._ev.forward(
+                batch, frame=2, share=True)
+            shadow_gt = (np.asarray(batch["label"][0]) == 2
+                         ).astype(np.float32)
+            aucs.append(float(self._auc(jnp.asarray(shadow_gt),
+                                        jnp.asarray(mask_pred[0] * face[0]))))
+        return float(sum(aucs) / len(aucs))
+
+
 def fit(config: Config, dataset_train, dataset_val=None,
         trainer: Optional[Trainer] = None, seed: int = 0,
-        select_best: bool = False, probe_images: int = 20):
+        select_best: bool = False, probe_images: int = 20,
+        probe_metric: str = "psnr"):
     """Run the full training schedule; returns the final TrainState.
 
     With `select_best=True`, every epoch additionally runs a UCB-subset
@@ -113,7 +175,13 @@ def fit(config: Config, dataset_train, dataset_val=None,
     # build the probe eagerly so a misconfigured select_best fails before
     # the first epoch, not after it (batches parse on host; the fused eval
     # step compiles at the first probe call)
-    probe = _UCBProbe(config, probe_images) if select_best else None
+    probe = None
+    if select_best:
+        if probe_metric not in ("psnr", "auc"):
+            raise ValueError(f"probe_metric must be 'psnr' or 'auc', got "
+                             f"{probe_metric!r}")
+        probe = (_SFWProbe if probe_metric == "auc"
+                 else _UCBProbe)(config, probe_images)
 
     # the loop owns the state exclusively, so donate it: the old TrainState
     # (~250 MB of params + Adam moments) is reused in place instead of
@@ -143,9 +211,10 @@ def fit(config: Config, dataset_train, dataset_val=None,
             p = probe(state)
             updated = mgr.save_best(epoch + 1, state, p)
             rec = mgr.best_record()
-            print(f"probe: UCB-{len(probe._batches)} mean PSNR {p:.2f} dB"
+            print(f"probe: {len(probe._batches)}-image mean "
+                  f"{probe.metric_name} {p:.4f} {probe.metric_unit}".rstrip()
                   + (" -> new best retained" if updated else
-                     f" (best {rec['metric']:.2f} @ epoch {rec['step']})"))
+                     f" (best {rec['metric']:.4f} @ epoch {rec['step']})"))
         if feed_val is not None:
             for step in range(config.steps_per_epoch // 10):
                 batch = _next_batch(feed_val, config.batch_size)

@@ -174,6 +174,54 @@ def test_sfw_video_schedule_and_eval(tmp_path):
     assert batch["img"].shape == (10, S, S, 3)
 
 
+@pytest.mark.skipif(not os.path.isdir(SAMPLE), reason="sample fixture absent")
+def test_sfw_auc_probe(tmp_path):
+    """The select-best AUC probe (fit --probe-metric auc): SFW frames parse
+    once, per-'epoch' only the variables swap, and the score equals the mean
+    of SFWEvaluator's own per-frame AUC on the same frames."""
+    import types
+
+    from blindshadowremoval_tpu.eval.evaluators import SFWEvaluator
+    from blindshadowremoval_tpu.train.loop import _SFWProbe
+
+    pattern = _make_sfw_fixture(tmp_path)
+    cfg = _small_config(tmp_path / "ckpt", "train", variant="tsm",
+                        data_dirs_test=(pattern,))
+    variables = _variables(cfg)
+    state = types.SimpleNamespace(
+        gen_params=variables["params"],
+        gen_stats=variables.get("batch_stats", {}))
+
+    probe = _SFWProbe(cfg, n_images=2)
+    score = probe(state)
+    assert 0.0 <= score <= 1.0
+
+    # oracle: the full evaluator's AUC on the same frames
+    ev_cfg = _small_config(tmp_path / "ckpt2", "sfw", variant="tsm",
+                           data_dirs_test=(pattern,))
+    ev = SFWEvaluator(ev_cfg, variables)
+    ds = Dataset(ev_cfg, "test", dset="sfw", seed=0)
+    it = iter(ds)
+    aucs = [ev.run_one(*next(it))["auc"] for _ in range(2)]
+    np.testing.assert_allclose(score, np.mean(aucs), atol=1e-6)
+
+    # a second call with different params must move the score (variables
+    # really swap between epochs)
+    state2 = types.SimpleNamespace(
+        gen_params=jax.tree.map(lambda x: -x, variables["params"]),
+        gen_stats=variables.get("batch_stats", {}))
+    score2 = probe(state2)
+    assert score2 != score
+
+
+def test_sfw_auc_probe_requires_data(tmp_path):
+    from blindshadowremoval_tpu.train.loop import _SFWProbe
+
+    cfg = _small_config(tmp_path, "train", data_dirs_test=())
+    with pytest.raises(ValueError):
+        _SFWProbe(cfg, n_images=2)
+
+
 def _make_ucb_fixture(tmp_path):
     """UCB layout: <root>/input/<id>/x.{png,npy}, <root>/gt/<id>/x.png,
     plus the 7 part-mask dirs with one 256x256 mask each."""
