@@ -147,6 +147,11 @@ def timed_scan(gen, variables, img, uv, reg, iters: int = ITERS,
 
 
 def main() -> None:
+    from blindshadowremoval_tpu.utils.compilecache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
     gen = make_gen()
     img, uv, reg = make_inputs()
     gen, variables = init_serving_variables(gen, img, uv, reg)

@@ -241,6 +241,14 @@ def _restore(cfg):
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    # every CLI path jit-compiles; on remote-attached backends a persistent
+    # cache turns minutes of per-process recompiles into reloads
+    from blindshadowremoval_tpu.utils.compilecache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
+
     from blindshadowremoval_tpu.config import get_config
 
     if args.cmd == "preprocess":

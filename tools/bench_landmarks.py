@@ -34,6 +34,8 @@ from bench import timed_scan_fn  # noqa: E402  (shared measurement harness)
 
 def bench_fan(batch: int, iters: int, dtype) -> float:
     import jax
+    from blindshadowremoval_tpu.utils.compilecache import enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     from blindshadowremoval_tpu.models.fan import FAN, decode_heatmaps

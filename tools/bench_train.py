@@ -31,6 +31,8 @@ def bench_config(batch_size: int, steps: int, compute_dtype: str,
                  remat: bool = False, s2d: bool = False,
                  compiler_options: dict | None = None) -> dict:
     import jax
+    from blindshadowremoval_tpu.utils.compilecache import enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     from blindshadowremoval_tpu.config import get_config

@@ -39,6 +39,8 @@ def main():
     args = ap.parse_args()
 
     import jax
+    from blindshadowremoval_tpu.utils.compilecache import enable_persistent_cache
+    enable_persistent_cache()
 
     from blindshadowremoval_tpu.config import get_config
     from blindshadowremoval_tpu.data.dataset import Dataset

@@ -94,6 +94,8 @@ def main():
     args = ap.parse_args()
 
     import jax
+    from blindshadowremoval_tpu.utils.compilecache import enable_persistent_cache
+    enable_persistent_cache()
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")

@@ -32,6 +32,8 @@ def main():
     args = ap.parse_args()
 
     import jax
+    from blindshadowremoval_tpu.utils.compilecache import enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     import bench  # the headline harness: identical model configuration

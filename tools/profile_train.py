@@ -35,6 +35,8 @@ def main():
     args = ap.parse_args()
 
     import jax
+    from blindshadowremoval_tpu.utils.compilecache import enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     from blindshadowremoval_tpu.config import get_config
