@@ -48,8 +48,14 @@ def _use_pallas(n: int, d: int, interpret: bool) -> bool:
     if prec is not None and str(prec).lower() != "default":
         return False
     aligned = (n % 128 == 0) and (d % 128 == 0)
+    # the EFFECTIVE target platform: a `jax.default_device(cpu)` scope on a
+    # TPU-attached process (e.g. host-side Trainer.init_state) must route to
+    # the XLA path — a Mosaic kernel cannot execute on the CPU backend
+    default_dev = jax.config.jax_default_device
+    platform = (default_dev.platform if default_dev is not None
+                else jax.default_backend())
     return (pltpu is not None) and aligned and (
-        interpret or jax.default_backend() == "tpu")
+        interpret or platform == "tpu")
 
 
 def _attention_xla(theta: jax.Array, phi: jax.Array, g: jax.Array) -> jax.Array:

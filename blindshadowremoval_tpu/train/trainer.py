@@ -134,6 +134,27 @@ class Trainer:
 
     # ------------------------------------------------------------- state
     def init_state(self, key: jax.Array) -> TrainState:
+        """Build the initial TrainState ON HOST CPU.
+
+        Eager Flax `init` dispatches hundreds of small ops; on a
+        remote-attached accelerator each is an RPC round trip (measured
+        ~4 minutes of wall before the first real step through the dev
+        tunnel).  The init values are either overwritten by a checkpoint
+        restore or uploaded in ONE bulk transfer by the first jitted step,
+        so there is nothing to gain from initializing on the accelerator —
+        and the threefry PRNG is backend-deterministic, so CPU init
+        produces bit-identical parameters."""
+        try:
+            _cpu = jax.local_devices(backend="cpu")[0]
+            _ctx = jax.default_device(_cpu)
+        except RuntimeError:            # no CPU backend registered
+            import contextlib
+
+            _ctx = contextlib.nullcontext()
+        with _ctx:
+            return self._init_state(key)
+
+    def _init_state(self, key: jax.Array) -> TrainState:
         cfg = self.config
         s = cfg.img_size
         b2 = cfg.batch_size * 2
