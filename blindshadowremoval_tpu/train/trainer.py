@@ -152,7 +152,14 @@ class Trainer:
 
             _ctx = contextlib.nullcontext()
         with _ctx:
-            return self._init_state(key)
+            state = self._init_state(key)
+        # hand back HOST numpy leaves: CPU-resident jax.Arrays flow into
+        # checkpoint-restore templates and would pin every downstream jit
+        # (eval forwards, the fused UCB step) to the CPU backend via
+        # committed-input device inference; numpy is placement-neutral
+        import numpy as np
+
+        return jax.tree.map(np.asarray, state)
 
     def _init_state(self, key: jax.Array) -> TrainState:
         cfg = self.config

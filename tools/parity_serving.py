@@ -91,7 +91,20 @@ def main():
     ap.add_argument("--ucb-images", type=int, default=5)
     ap.add_argument("--cpu", action="store_true",
                     help="run on the CPU backend instead of the TPU")
+    ap.add_argument("--configs", default=None,
+                    help="comma-separated subset of configurations to "
+                         "score (f32 is always included as the reference); "
+                         "default: all")
     args = ap.parse_args()
+
+    configs = CONFIGS
+    if args.configs:
+        wanted = set(args.configs.split(",")) | {"f32"}
+        unknown = wanted - set(CONFIGS)
+        if unknown:
+            ap.error(f"unknown configs {sorted(unknown)}; "
+                     f"available: {', '.join(CONFIGS)}")
+        configs = {k: v for k, v in CONFIGS.items() if k in wanted}
 
     import jax
     from blindshadowremoval_tpu.utils.compilecache import enable_persistent_cache
@@ -138,7 +151,7 @@ def main():
     wild = next(iter(ds_wild))
 
     results = {}
-    for cname, overrides in CONFIGS.items():
+    for cname, overrides in configs.items():
         overrides = dict(overrides)
         precision = overrides.pop("precision", "default")
         cfg = dataclasses.replace(base, **overrides)
@@ -159,7 +172,7 @@ def main():
 
     ref = results["f32"]
     report = {}
-    for cname in CONFIGS:
+    for cname in configs:
         if cname == "f32":
             continue
         r = results[cname]
