@@ -143,6 +143,11 @@ def build_parser():
                         "the --select-best probe")
     p.add_argument("--probe-images", type=int, default=20,
                    help="images in the --select-best probe subset")
+    p.add_argument("--no-compact-ingress", action="store_true",
+                   help="upload train batches as f32 instead of uint16 "
+                        "fixed-point (compact ingress is on by default for "
+                        "the CLI: the [0,1] image planes are the dominant "
+                        "host->device transfer; quantization step 1/65535)")
     p.add_argument("--probe-metric", default="psnr",
                    choices=["psnr", "auc"],
                    help="quality axis for --select-best: 'psnr' probes a "
@@ -279,6 +284,8 @@ def main(argv=None):
             learning_rate=args.lr,
             log_every_steps=args.log_every,
             device_geometry=args.device_geometry)
+        if not args.no_compact_ingress:
+            overrides["compact_ingress"] = True
         if args.select_best:
             needs_masks = getattr(args, "probe_metric", "psnr") == "psnr"
             if not args.probe_data or (needs_masks

@@ -27,18 +27,34 @@ def _device_batch(batch: dict) -> dict:
     return {k: jnp.asarray(v) for k, v in batch.items()}
 
 
-def _next_batch(feed, batch_size: int) -> dict:
+# [0,1]-bounded planes shipped as uint16 fixed-point under
+# config.compact_ingress (train wire format; the step dequantizes in-graph)
+_COMPACT_KEYS = ("img_dark", "gt", "mask")
+
+
+def _next_batch(feed, batch_size: int, compact: bool = False) -> dict:
     """Assemble `batch_size` parsed samples (2 mirrored views each) into one
     [2*batch_size, ...] batch. The reference trains with batch 1 (one
-    mirrored pair, train_test_GSC.py:43); larger sizes stack pairs."""
+    mirrored pair, train_test_GSC.py:43); larger sizes stack pairs.
+
+    `compact=True` ships the [0,1]-bounded image planes as uint16
+    fixed-point — the train batch is the dominant host->device transfer on
+    remote-attached chips (docs/perf.md "fit() end-to-end"); quantization
+    step 1/65535, dequantized in the jitted step."""
     import numpy as np
 
     views = [next(feed) for _ in range(batch_size)]
     if batch_size == 1:
-        return _device_batch(views[0])
-    return {k: jnp.asarray(np.concatenate([np.asarray(v[k]) for v in views],
-                                          axis=0))
-            for k in views[0]}
+        out = {k: np.asarray(v) for k, v in views[0].items()}
+    else:
+        out = {k: np.concatenate([np.asarray(v[k]) for v in views], axis=0)
+               for k in views[0]}
+    if compact:
+        for k in _COMPACT_KEYS:
+            if k in out:
+                out[k] = np.round(
+                    np.clip(out[k], 0.0, 1.0) * 65535.0).astype(np.uint16)
+    return {k: jnp.asarray(v) for k, v in out.items()}
 
 
 class _UCBProbe:
@@ -195,7 +211,8 @@ def fit(config: Config, dataset_train, dataset_val=None,
     for epoch in range(last_epoch, config.max_epoch):
         t0 = time.time()
         for step in range(config.steps_per_epoch):
-            batch = _next_batch(feed, config.batch_size)
+            batch = _next_batch(feed, config.batch_size,
+                                compact=config.compact_ingress)
             key, sub = jax.random.split(key)
             state, losses, figs = step_fn(state, batch, sub, train=True)
             # fetching losses synchronizes the device; throttle on TPU via
@@ -217,7 +234,8 @@ def fit(config: Config, dataset_train, dataset_val=None,
                      f" (best {rec['metric']:.4f} @ epoch {rec['step']})"))
         if feed_val is not None:
             for step in range(config.steps_per_epoch // 10):
-                batch = _next_batch(feed_val, config.batch_size)
+                batch = _next_batch(feed_val, config.batch_size,
+                                    compact=config.compact_ingress)
                 key, sub = jax.random.split(key)
                 # the eval step returns the state unchanged; rebind it (the
                 # input buffers were donated)

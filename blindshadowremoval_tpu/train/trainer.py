@@ -238,7 +238,18 @@ class Trainer:
     def train_step(self, state: TrainState, batch: dict, key: jax.Array,
                    train: bool = True):
         """One fused G+D step.  `batch` keys: img_dark, gt [B2,S,S,3],
-        mask, face [B2,S,S,1], uv [B2,S,S,3], reg [B2,S,S,6]."""
+        mask, face [B2,S,S,1], uv [B2,S,S,3], reg [B2,S,S,6].
+
+        [0,1]-bounded image planes may arrive as uint16 fixed-point
+        (config.compact_ingress wire format, loop._next_batch): the train
+        batch is the dominant host->device transfer (118 MB/step at batch
+        32 in f32, docs/perf.md "fit() end-to-end"), and the 1/65535
+        quantization step is far below the bf16 compute noise.  Dequantize
+        in-graph — dtype is part of the jit signature, so the f32 path
+        compiles without this code."""
+        batch = {k: (v.astype(jnp.float32) / 65535.0
+                     if v.dtype == jnp.uint16 else v)
+                 for k, v in batch.items()}
         cfg = self.config
         k_sat, k_comp, k_mirror, k_share = jax.random.split(key, 4)
         # TSM: frame=1 with a random share gate during training, always-on

@@ -163,3 +163,32 @@ def test_trainer_shared_caches_by_config_value():
     assert t1 is t2
     t3 = Trainer.shared(get_config("train", img_size=64, batch_size=2))
     assert t3 is not t1
+
+
+def test_compact_ingress_train_step(trainer, state, rng):
+    """uint16 fixed-point train ingress (config.compact_ingress): the step
+    dequantizes in-graph and losses match the f32 wire within quantization
+    noise; the wire itself is half the bytes."""
+    from blindshadowremoval_tpu.train.loop import _COMPACT_KEYS, _next_batch
+
+    batch = {k: np.asarray(v) for k, v in _batch(rng).items()}
+    feed_f32 = iter([dict(batch)])
+    feed_u16 = iter([dict(batch)])
+    b_f32 = _next_batch(feed_f32, 1, compact=False)
+    b_u16 = _next_batch(feed_u16, 1, compact=True)
+
+    for k in _COMPACT_KEYS:
+        assert b_u16[k].dtype == jnp.uint16
+        # wire halves; dequantization round-trips to within half a step
+        assert b_u16[k].nbytes == b_f32[k].nbytes // 2
+        np.testing.assert_allclose(
+            np.asarray(b_u16[k], np.float32) / 65535.0,
+            np.clip(np.asarray(b_f32[k]), 0, 1), atol=0.5 / 65535.0)
+
+    _, l_f32, _ = trainer.train_step(state, b_f32, jax.random.PRNGKey(5),
+                                     train=True)
+    _, l_u16, _ = trainer.train_step(state, b_u16, jax.random.PRNGKey(5),
+                                     train=True)
+    for k in l_f32:
+        np.testing.assert_allclose(float(l_u16[k]), float(l_f32[k]),
+                                   rtol=1e-2, atol=1e-2), k

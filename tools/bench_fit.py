@@ -42,6 +42,9 @@ def main() -> None:
     ap.add_argument("--data", default="/root/reference/UCB/train/gt/*")
     ap.add_argument("--compute-dtype", default="bfloat16")
     ap.add_argument("--vgg-dtype", default="bfloat16")
+    ap.add_argument("--compact", action="store_true",
+                    help="uint16 fixed-point train ingress "
+                         "(config.compact_ingress wire format)")
     args = ap.parse_args()
 
     import jax
@@ -58,6 +61,7 @@ def main() -> None:
         "train", img_size=256, batch_size=args.batch,
         compute_dtype=args.compute_dtype, vgg_dtype=args.vgg_dtype,
         remat=True, device_geometry=True,
+        compact_ingress=args.compact,
         data_dirs=(args.data,), checkpoint_dir="/tmp/bench_fit_ckpt")
     ds = Dataset(cfg, "train", seed=0)
     print(f"corpus: {len(ds.name_list)} identities; "
@@ -84,6 +88,12 @@ def main() -> None:
     views = [next(feed) for _ in range(args.batch)]
     up = {k: np.concatenate([np.asarray(v[k]) for v in views], axis=0)
           for k in views[0]}
+    if args.compact:
+        from blindshadowremoval_tpu.train.loop import _COMPACT_KEYS
+        for k in _COMPACT_KEYS:
+            if k in up:
+                up[k] = np.round(
+                    np.clip(up[k], 0.0, 1.0) * 65535.0).astype(np.uint16)
     nbytes = sum(v.nbytes for v in up.values())
     jax.block_until_ready(jax.device_put(up))          # warm the path
     t0 = time.perf_counter()
@@ -106,14 +116,14 @@ def main() -> None:
 
     print("compiling the train step ...", flush=True)
     for _ in range(args.warm):
-        b = _next_batch(feed, args.batch)
+        b = _next_batch(feed, args.batch, compact=args.compact)
         key, sub = jax.random.split(key)
         state, losses, _ = step_fn(state, b, sub, train=True)
     print(f"warm recon_c={float(losses['recon_c']):.4f}", flush=True)
 
     t0 = time.perf_counter()
     for _ in range(args.steps):
-        b = _next_batch(feed, args.batch)
+        b = _next_batch(feed, args.batch, compact=args.compact)
         key, sub = jax.random.split(key)
         state, losses, _ = step_fn(state, b, sub, train=True)
     final = float(losses["recon_c"])      # syncs the whole chain
