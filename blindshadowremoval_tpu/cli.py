@@ -116,6 +116,11 @@ def build_parser():
     p.add_argument("--device-geometry", action="store_true",
                    help="rasterize UV/offset/face maps in-graph instead of "
                         "on the host (2x faster host pipeline)")
+    p.add_argument("--device-darken", action="store_true",
+                   help="derive the jittered (gt, img_dark) pair in the "
+                        "jitted train step instead of on the host: drops "
+                        "img_dark from the host->device wire (3 of 7 image "
+                        "channels) and the per-sample host tone-curve work")
     p.add_argument("--steps-per-epoch", type=int, default=2000)
     p.add_argument("--max-epoch", type=int, default=300)
     p.add_argument("--batch-size", type=int, default=1)
@@ -283,7 +288,8 @@ def main(argv=None):
             max_epoch=args.max_epoch, batch_size=args.batch_size,
             learning_rate=args.lr,
             log_every_steps=args.log_every,
-            device_geometry=args.device_geometry)
+            device_geometry=args.device_geometry,
+            device_darken=args.device_darken)
         if not args.no_compact_ingress:
             overrides["compact_ingress"] = True
         if args.select_best:

@@ -117,6 +117,15 @@ class Config:
                                            # output HBM writes for serving;
                                            # the f32 default preserves the
                                            # evaluators' TF-parity numerics.
+    device_darken: bool = False            # derive the jittered (gt,
+                                           # img_dark) pair in the jitted
+                                           # train step instead of on host
+                                           # (synthesis.derive_darkened_
+                                           # views): drops img_dark from
+                                           # the host->device wire and the
+                                           # per-sample host tone-curve
+                                           # work.  Distributional parity:
+                                           # same draws, device PRNG stream.
     device_geometry: bool = False          # rasterize UV/offset/face maps
                                            # in-graph from landmarks instead
                                            # of on the host (train pipeline)

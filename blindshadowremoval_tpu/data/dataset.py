@@ -234,12 +234,17 @@ class Dataset:
         gt, lm, lm_mirror, _ = face_crop_and_resize(
             gt0, np.load(lm_path), s, aug=True, rng=rng)
         devgeo = getattr(cfg, "device_geometry", False)
+        devdark = getattr(cfg, "device_darken", False)
         # devgeo ships the UNGATED occluder mask and no host face map: the
         # train step rasterizes the face in-graph (identical numerics) and
-        # gates there — the host rasterization was ~15 ms/sample
+        # gates there — the host rasterization was ~15 ms/sample.
+        # devdark additionally ships the RAW crop with no img_dark plane:
+        # the step derives the jittered pair in-graph
+        # (synthesis.derive_darkened_views — one draw per mirrored pair,
+        # like this parser)
         gt, img_dark, mask, _, face = shadow_synthesis_host(
             gt, lm, 0.0, mask_dir=cfg.shadow_mask_dir or None, rng=rng,
-            rasterize_face=not devgeo)
+            rasterize_face=not devgeo, darken=not devdark)
         if devgeo:
             g = _geometry_primitives(lm)
             gm = _geometry_primitives(lm_mirror)
@@ -247,9 +252,11 @@ class Dataset:
             g = _geometry(lm, s)
             gm = _geometry(lm_mirror, s)
 
-        view0 = {"img_dark": img_dark, "gt": gt, "mask": mask[..., :1], **g}
-        view1 = {"img_dark": img_dark[:, ::-1], "gt": gt[:, ::-1],
-                 "mask": mask[:, ::-1, :1], **gm}
+        view0 = {"gt": gt, "mask": mask[..., :1], **g}
+        view1 = {"gt": gt[:, ::-1], "mask": mask[:, ::-1, :1], **gm}
+        if img_dark is not None:
+            view0["img_dark"] = img_dark
+            view1["img_dark"] = img_dark[:, ::-1]
         if not devgeo:
             view0["face"] = face[..., :1]
             view1["face"] = face[:, ::-1, :1]

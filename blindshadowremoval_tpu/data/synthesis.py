@@ -42,6 +42,33 @@ from blindshadowremoval_tpu.utils.hostdev import host_cpu_device
 _face_darken_jit = jax.jit(face_darken)
 
 
+def derive_darkened_views(key: jax.Array, gt_raw: jax.Array):
+    """In-graph twin of the host parser's `face_darken` stage.
+
+    `gt_raw`: [2B,S,S,3] raw crops with mirrored pairs adjacent (even rows
+    unflipped — the parse_train layout).  One tone-curve draw per PAIR,
+    shared by its mirror exactly as the host path shares one `face_darken`
+    result across view0/view1 (dataset.py parse_train).  Returns (gt,
+    img_dark) with both views interleaved back.  Under
+    `config.device_darken` this removes `img_dark` (3 of 7 image channels)
+    from the host->device wire and the ~per-sample host darkening cost."""
+    even = gt_raw[0::2]
+    keys = jax.random.split(key, even.shape[0])
+    img_aug, img_dark, _ = jax.vmap(face_darken)(keys, even)
+    # clamp the CTM extrapolations to display range: the compact wire
+    # (config.compact_ingress, the CLI default) clips the host-derived pair
+    # to [0,1] at quantization, and unclamped excursions (CTM fits reach
+    # ~[-0.25, 1.3]) destabilize the bf16 train step within ~10 steps at
+    # batch 32 (NaN) where the clipped wire is measured stable
+    img_aug = jnp.clip(img_aug, 0.0, 1.0)
+    img_dark = jnp.clip(img_dark, 0.0, 1.0)
+
+    def interleave(x):
+        return jnp.stack([x, x[:, :, ::-1]], axis=1).reshape(gt_raw.shape)
+
+    return interleave(img_aug), interleave(img_dark)
+
+
 def _compose_one(key: jax.Array, mask: jax.Array, gt: jax.Array,
                  img_dark: jax.Array, face: jax.Array):
     """Single-sample compositor; shapes (S,S,{1,3})."""
@@ -234,7 +261,8 @@ def shadow_synthesis_host(gt: np.ndarray, lm: np.ndarray, time: float = 0.0,
                           mask_dir: Optional[str] = None,
                           rng: Optional[np.random.Generator] = None,
                           seed: Optional[int] = None,
-                          rasterize_face: bool = True):
+                          rasterize_face: bool = True,
+                          darken: bool = True):
     """Full host-side pair synthesis (utils.py:1025-1055).
 
     Returns (img, img_dark, mask, color_matrix, face): the color-jittered
@@ -258,12 +286,19 @@ def shadow_synthesis_host(gt: np.ndarray, lm: np.ndarray, time: float = 0.0,
     else:
         face = None
 
-    key = jax.random.PRNGKey(int(rng.integers(0, 2 ** 31)))
-    with jax.default_device(host_cpu_device()):
-        img, img_dark, ctm = _face_darken_jit(key, jnp.asarray(gt, jnp.float32))
+    if darken:
+        key = jax.random.PRNGKey(int(rng.integers(0, 2 ** 31)))
+        with jax.default_device(host_cpu_device()):
+            img, img_dark, ctm = _face_darken_jit(
+                key, jnp.asarray(gt, jnp.float32))
+        img, img_dark, ctm = (np.asarray(img), np.asarray(img_dark),
+                              np.asarray(ctm))
+    else:
+        # config.device_darken: ship the RAW crop; the jitted train step
+        # derives (gt, img_dark) in-graph (derive_darkened_views)
+        img, img_dark, ctm = np.asarray(gt, np.float32), None, None
 
     maker = ShadowMaker(face, lm, mask_dir=mask_dir, rng=rng, size=width)
     mask, face = maker.compute_mask(time)
-    return (np.asarray(img), np.asarray(img_dark),
-            mask.astype(np.float32), np.asarray(ctm),
+    return (img, img_dark, mask.astype(np.float32), ctm,
             face.astype(np.float32) if face is not None else None)

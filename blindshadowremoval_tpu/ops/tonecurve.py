@@ -26,11 +26,18 @@ def apply_tone_curve(image: jax.Array, gain: jax.Array) -> jax.Array:
     image_max = jnp.max(image)
     x = image / (image_max + 1e-6)
 
-    up = (x > 0.499).astype(x.dtype)             # rgb path threshold (utils.py:463)
+    up = x > 0.499                               # rgb path threshold (utils.py:463)
     g = gain.reshape((1, 1, 3)).astype(x.dtype)
     lo = getbias(x * 2.0, g) / 2.0
     hi = getbias(x * 2.0 - 1.0, 1.0 - g) / 2.0 + 0.5
-    out = lo * (1.0 - up) + hi * up
+    # a true select, NOT the arithmetic blend lo*(1-up)+hi*up: the UNselected
+    # branch is evaluated outside its domain (lo at x*2 > 1), where getbias's
+    # denominator crosses zero — on TPU the approximate-reciprocal division
+    # overflows to inf there and inf * 0 = NaN poisons the blend (observed
+    # as whole-step NaN under config.device_darken).  On each branch's
+    # SELECTED lanes the denominator is bounded away from 0 for any
+    # gain in the sampled [0.2, 0.8], so where() is exact.
+    out = jnp.where(up, hi, lo)
     return out * image_max
 
 
@@ -45,15 +52,28 @@ def get_ctm_ls(image: jax.Array, target: jax.Array) -> jax.Array:
     """
     a = image.reshape(-1, 3)
     b = target.reshape(-1, 3)
-    ata = a.T @ a + 1e-8 * jnp.eye(3, dtype=a.dtype)
-    atb = a.T @ b
-    ctm = jnp.linalg.solve(ata, atb)             # (3, 3), maps a -> b
+    # HIGHEST precision is load-bearing on TPU: at the default single-bf16
+    # matmul pass the 65k-pixel normal-equation accumulation degrades until
+    # the 3x3 solve goes singular (NaN losses when this runs inside the
+    # bf16 train step under config.device_darken); a 3x3 solve costs nothing
+    hi = jax.lax.Precision.HIGHEST
+    ata = jnp.matmul(a.T, a, precision=hi)
+    atb = jnp.matmul(a.T, b, precision=hi)
+    # scale-RELATIVE ridge: a fixed 1e-8 leaves A^T A numerically singular
+    # for near-constant crops (rank-1, entries ~1e4 at 256²), and the 3x3
+    # solve then emits inf/NaN that poisons a whole training step — the
+    # reference's np.linalg.lstsq returns a finite min-norm solution there
+    # (utils.py:497-512).  1e-6 of the mean diagonal keeps the solve
+    # bounded for any input while perturbing well-posed fits by ~1e-6.
+    eps = 1e-6 * (jnp.trace(ata) / 3.0) + 1e-12
+    ctm = jnp.linalg.solve(ata + eps * jnp.eye(3, dtype=a.dtype), atb)
     return ctm.T
 
 
 def apply_ctm(image: jax.Array, ctm: jax.Array) -> jax.Array:
     """Apply a color-transfer matrix to [..., 3] (utils.py:515-527)."""
-    return jnp.einsum("...c,kc->...k", image, ctm)
+    return jnp.einsum("...c,kc->...k", image, ctm,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def face_darken(key: jax.Array, img: jax.Array,

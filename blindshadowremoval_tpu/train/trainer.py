@@ -33,7 +33,10 @@ from flax import struct
 from flax.core import freeze
 
 from blindshadowremoval_tpu.config import Config
-from blindshadowremoval_tpu.data.synthesis import compose_shadow_image
+from blindshadowremoval_tpu.data.synthesis import (
+    compose_shadow_image,
+    derive_darkened_views,
+)
 from blindshadowremoval_tpu.models.discriminator import MultiScaleDiscriminators
 from blindshadowremoval_tpu.models.generator import GSCGenerator
 from blindshadowremoval_tpu.models.generator_rgb import RGBGenerator
@@ -251,6 +254,13 @@ class Trainer:
                      if v.dtype == jnp.uint16 else v)
                  for k, v in batch.items()}
         cfg = self.config
+        if "img_dark" not in batch:
+            # config.device_darken wire: the parser shipped the RAW crop;
+            # derive the jittered (gt, img_dark) pair in-graph, one draw
+            # per mirrored pair like the host parser
+            key, k_dark = jax.random.split(key)
+            gt_j, dark_j = derive_darkened_views(k_dark, batch["gt"])
+            batch = {**batch, "gt": gt_j, "img_dark": dark_j}
         k_sat, k_comp, k_mirror, k_share = jax.random.split(key, 4)
         # TSM: frame=1 with a random share gate during training, always-on
         # share in the val pass (train_with_TSM.py:216-221)

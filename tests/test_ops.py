@@ -338,3 +338,28 @@ def test_resize_nearest_half_pixel():
     x = jnp.asarray(np.arange(4, dtype=np.float32).reshape(1, 1, 4, 1))
     y = np.asarray(resize_nearest(x, (1, 8)))[0, 0, :, 0]
     np.testing.assert_array_equal(y, [0, 0, 1, 1, 2, 2, 3, 3])
+
+
+def test_ctm_ls_rank_deficient_stays_finite(rng):
+    """A near-constant crop makes A^T A rank-1; the scale-relative ridge
+    must keep the 3x3 solve bounded (the reference's np.linalg.lstsq
+    returns a finite min-norm solution there, utils.py:497-512)."""
+    import jax.numpy as jnp
+
+    from blindshadowremoval_tpu.ops.tonecurve import apply_ctm, get_ctm_ls
+
+    const = np.full((64, 64, 3), 0.37, np.float32)
+    target = const * 0.5
+    ctm = np.asarray(get_ctm_ls(jnp.asarray(const), jnp.asarray(target)))
+    assert np.isfinite(ctm).all()
+    out = np.asarray(apply_ctm(jnp.asarray(const), jnp.asarray(ctm)))
+    assert np.isfinite(out).all()
+    # the fit still maps the constant to its target
+    np.testing.assert_allclose(out, target, atol=1e-3)
+
+    # and a well-posed fit is not perturbed: random full-rank image
+    img = rng.uniform(size=(64, 64, 3)).astype(np.float32)
+    tgt = img * np.array([0.9, 0.7, 0.5], np.float32)
+    ctm = get_ctm_ls(jnp.asarray(img), jnp.asarray(tgt))
+    fit = np.asarray(apply_ctm(jnp.asarray(img), ctm))
+    np.testing.assert_allclose(fit, tgt, atol=1e-3)

@@ -192,3 +192,72 @@ def test_compact_ingress_train_step(trainer, state, rng):
     for k in l_f32:
         np.testing.assert_allclose(float(l_u16[k]), float(l_f32[k]),
                                    rtol=1e-2, atol=1e-2), k
+
+
+def test_derive_darkened_views_matches_host_contract(rng):
+    """The in-graph darkening twin (config.device_darken): one tone-curve
+    draw per mirrored pair, mirror relation preserved, and each pair equals
+    face_darken applied to its even (unflipped) view."""
+    from blindshadowremoval_tpu.data.synthesis import derive_darkened_views
+    from blindshadowremoval_tpu.ops.tonecurve import face_darken
+
+    s = 32
+    even = rng.uniform(size=(2, s, s, 3)).astype(np.float32)
+    gt_raw = np.stack([even, even[:, :, ::-1]], axis=1).reshape(4, s, s, 3)
+
+    key = jax.random.PRNGKey(7)
+    gt, dark = jax.jit(derive_darkened_views)(key, jnp.asarray(gt_raw))
+    gt, dark = np.asarray(gt), np.asarray(dark)
+
+    keys = jax.random.split(key, 2)
+    for i in range(2):
+        a, d, _ = face_darken(keys[i], jnp.asarray(even[i]))
+        # derive_darkened_views clamps CTM excursions to [0,1] (the
+        # compact-wire contract; see synthesis.py)
+        np.testing.assert_allclose(gt[2 * i], np.clip(np.asarray(a), 0, 1),
+                                   atol=1e-5)
+        np.testing.assert_allclose(dark[2 * i], np.clip(np.asarray(d), 0, 1),
+                                   atol=1e-5)
+        # odd view is the width-flip of its pair
+        np.testing.assert_allclose(gt[2 * i + 1], gt[2 * i][:, ::-1],
+                                   atol=1e-6)
+        np.testing.assert_allclose(dark[2 * i + 1], dark[2 * i][:, ::-1],
+                                   atol=1e-6)
+
+
+def test_device_darken_train_step(trainer, state, rng):
+    """A device_darken-layout batch (raw gt, no img_dark plane) trains:
+    the step derives the jittered pair in-graph; losses finite, params
+    move, and the wire carries 3 fewer image channels."""
+    batch = _batch(rng)
+    del batch["img_dark"]
+    new_state, losses, figs = trainer.train_step(
+        state, batch, jax.random.PRNGKey(11), train=True)
+    for name, v in losses.items():
+        assert np.isfinite(float(v)), f"{name} not finite"
+    old = jax.tree_util.tree_leaves(state.gen_params)
+    new = jax.tree_util.tree_leaves(new_state.gen_params)
+    assert any(not np.allclose(a, b) for a, b in zip(old, new))
+    assert figs["pred"].shape == (2, S, S, 3)
+
+
+def test_parse_train_device_darken(tmp_path):
+    """parse_train under device_darken ships raw gt and NO img_dark."""
+    import os
+
+    SAMPLE = "/root/reference/UCB/train/gt"
+    if not os.path.isdir(SAMPLE):
+        pytest.skip("reference UCB fixtures absent")
+    from blindshadowremoval_tpu.data.dataset import Dataset
+
+    cfg = get_config("train", img_size=S,
+                     data_dirs=(SAMPLE + "/*",),
+                     device_geometry=True, device_darken=True,
+                     checkpoint_dir=str(tmp_path))
+    ds = Dataset(cfg, "train", seed=0)
+    sample = ds.parse_train(ds.name_list[0])
+    assert "img_dark" not in sample
+    assert sample["gt"].shape == (2, S, S, 3)
+    assert sample["gt"].dtype == np.float32
+    # mirrored pair: view1 is the width-flip of view0
+    np.testing.assert_allclose(sample["gt"][1], sample["gt"][0][:, ::-1])

@@ -45,6 +45,9 @@ def main() -> None:
     ap.add_argument("--compact", action="store_true",
                     help="uint16 fixed-point train ingress "
                          "(config.compact_ingress wire format)")
+    ap.add_argument("--device-darken", action="store_true",
+                    help="derive (gt, img_dark) in-graph "
+                         "(config.device_darken wire format)")
     args = ap.parse_args()
 
     import jax
@@ -61,7 +64,7 @@ def main() -> None:
         "train", img_size=256, batch_size=args.batch,
         compute_dtype=args.compute_dtype, vgg_dtype=args.vgg_dtype,
         remat=True, device_geometry=True,
-        compact_ingress=args.compact,
+        compact_ingress=args.compact, device_darken=args.device_darken,
         data_dirs=(args.data,), checkpoint_dir="/tmp/bench_fit_ckpt")
     ds = Dataset(cfg, "train", seed=0)
     print(f"corpus: {len(ds.name_list)} identities; "
