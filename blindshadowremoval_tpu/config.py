@@ -125,7 +125,18 @@ class Config:
                                            # the host->device wire and the
                                            # per-sample host tone-curve
                                            # work.  Distributional parity:
-                                           # same draws, device PRNG stream.
+                                           # same draws, device PRNG stream
+                                           # — EXCEPT that the derived pair
+                                           # is clamped to [0,1] (CTM
+                                           # extrapolations reach ~[-0.25,
+                                           # 1.3] unclamped), matching the
+                                           # compact_ingress wire's clamp;
+                                           # with compact_ingress=False the
+                                           # host f32 path stays unclamped,
+                                           # so that one combination
+                                           # differs from host darkening by
+                                           # the clamp (stability-load-
+                                           # bearing in bf16, synthesis.py)
     device_geometry: bool = False          # rasterize UV/offset/face maps
                                            # in-graph from landmarks instead
                                            # of on the host (train pipeline)
@@ -141,6 +152,18 @@ class Config:
                                            # Off at the library surface (an
                                            # ingress contract change); the
                                            # CLI eval commands enable it.
+    ingress_u8: bool = False               # with compact_ingress: ship the
+                                           # [0,1] train image planes as
+                                           # uint8 (1/255 fixed point)
+                                           # instead of uint16 — half the
+                                           # remaining wire again.  The
+                                           # source images are 8-bit PNGs,
+                                           # so 1/255 sits at the source
+                                           # quantization; measured loss
+                                           # deltas vs the u16 wire in
+                                           # docs/perf.md "fit() end-to-
+                                           # end".  CLI train default; the
+                                           # library surface stays u16.
     param_dtype: str = "float32"
     checkpoint_dir: str = "./checkpoints"
     mode: str = "in_the_wild"

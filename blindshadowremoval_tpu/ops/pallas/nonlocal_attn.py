@@ -52,8 +52,11 @@ def _use_pallas(n: int, d: int, interpret: bool) -> bool:
     # TPU-attached process (e.g. host-side Trainer.init_state) must route to
     # the XLA path — a Mosaic kernel cannot execute on the CPU backend
     default_dev = jax.config.jax_default_device
-    platform = (default_dev.platform if default_dev is not None
-                else jax.default_backend())
+    # jax_default_device may legally hold a platform STRING ("cpu" via
+    # jax.default_device('cpu') or the JAX_DEFAULT_DEVICE env var), not just
+    # a Device object
+    platform = (getattr(default_dev, "platform", str(default_dev))
+                if default_dev is not None else jax.default_backend())
     return (pltpu is not None) and aligned and (
         interpret or platform == "tpu")
 

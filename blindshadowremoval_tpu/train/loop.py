@@ -23,10 +23,6 @@ from blindshadowremoval_tpu.utils.checkpoint import CheckpointManager
 from blindshadowremoval_tpu.utils.logging import TrainLogger
 
 
-def _device_batch(batch: dict) -> dict:
-    return {k: jnp.asarray(v) for k, v in batch.items()}
-
-
 # [0,1]-bounded planes shipped as uint16 fixed-point under
 # config.compact_ingress (train wire format; the step dequantizes in-graph)
 _COMPACT_KEYS = ("img_dark", "gt", "mask")
@@ -40,7 +36,17 @@ def _next_batch(feed, batch_size: int, compact: bool = False) -> dict:
     `compact=True` ships the [0,1]-bounded image planes as uint16
     fixed-point — the train batch is the dominant host->device transfer on
     remote-attached chips (docs/perf.md "fit() end-to-end"); quantization
-    step 1/65535, dequantized in the jitted step."""
+    step 1/65535, dequantized in the jitted step.
+
+    CONTRACT: the compact wire CLAMPS `gt`/`img_dark` to [0,1] — a
+    deliberate change vs the reference's unclipped feed, whose CTM
+    extrapolations reach ~[-0.25, 1.3] (utils.py:497-527).  The clamp is
+    stability-load-bearing: unclamped excursions destabilize the bf16 train
+    step within ~10 steps at batch 32 (NaN) where the clamped wire is
+    measured stable (data/synthesis.py:derive_darkened_views carries the
+    same clamp for the same reason, so every ingress variant trains on the
+    identical display-range distribution).  Covered incl. out-of-range
+    inputs by tests/test_trainer.py::test_compact_ingress_train_step."""
     import numpy as np
 
     views = [next(feed) for _ in range(batch_size)]

@@ -14,17 +14,30 @@ import threading
 
 import numpy as np
 
-_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__)))), "native", "loader.cc")
-_SO = os.path.join(os.path.dirname(_SRC), "libbsrloader.so")
+# the source ships as package data (pyproject [tool.setuptools.package-data])
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))), "native", "loader.cc")
 _lock = threading.Lock()
 _lib = None
 _tried = False
 
 
-def _build() -> bool:
+def _so_path() -> str:
+    """Build target: next to the source when writable (editable install /
+    repo checkout), else a per-user cache dir (site-packages installs are
+    often read-only)."""
+    pkg_dir = os.path.dirname(_SRC)
+    if os.access(pkg_dir, os.W_OK):
+        return os.path.join(pkg_dir, "libbsrloader.so")
+    cache = os.path.join(os.path.expanduser("~"), ".cache",
+                         "blindshadowremoval_tpu")
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, "libbsrloader.so")
+
+
+def _build(so: str) -> bool:
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           "-o", _SO, _SRC]
+           "-o", so, _SRC]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
@@ -33,19 +46,22 @@ def _build() -> bool:
 
 
 def get_lib():
-    """Load (building if needed) the native library; None if unavailable."""
+    """Load (building if needed) the native library; None if unavailable —
+    every binding in this module has a numpy fallback, so a host without a
+    toolchain degrades gracefully instead of failing at install time."""
     global _lib, _tried
     with _lock:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.isfile(_SO) or (
+        so = _so_path()
+        if not os.path.isfile(so) or (
                 os.path.isfile(_SRC)
-                and os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-            if not os.path.isfile(_SRC) or not _build():
+                and os.path.getmtime(so) < os.path.getmtime(_SRC)):
+            if not os.path.isfile(_SRC) or not _build(so):
                 return None
         try:
-            lib = ctypes.CDLL(_SO)
+            lib = ctypes.CDLL(so)
         except OSError:
             return None
         fp = ctypes.POINTER(ctypes.c_float)

@@ -32,7 +32,6 @@ OUT_DIR = os.path.join(REPO, "tests", "goldens", "tf_ref")
 WORKDIR = "/tmp/tf_ref_e2e"
 N_UCB = 3
 
-sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax  # noqa: E402

@@ -36,7 +36,6 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF = "/root/reference"
 OUT_DIR = os.path.join(REPO, "tests", "goldens", "tf_ref")
 
-sys.path.insert(0, REPO)
 
 # ---- jax on CPU first (no tunnel) -----------------------------------------
 import jax  # noqa: E402

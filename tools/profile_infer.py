@@ -15,7 +15,6 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.trace_utils import parse_device_events, print_top  # noqa: E402
 

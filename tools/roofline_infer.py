@@ -32,7 +32,6 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench  # the headline harness: same model, same measurement pattern
 
