@@ -28,7 +28,8 @@ from blindshadowremoval_tpu.utils.logging import TrainLogger
 _COMPACT_KEYS = ("img_dark", "gt", "mask")
 
 
-def _next_batch(feed, batch_size: int, compact: bool = False) -> dict:
+def _next_batch(feed, batch_size: int, compact: bool = False,
+                u8: bool = False) -> dict:
     """Assemble `batch_size` parsed samples (2 mirrored views each) into one
     [2*batch_size, ...] batch. The reference trains with batch 1 (one
     mirrored pair, train_test_GSC.py:43); larger sizes stack pairs.
@@ -46,7 +47,11 @@ def _next_batch(feed, batch_size: int, compact: bool = False) -> dict:
     measured stable (data/synthesis.py:derive_darkened_views carries the
     same clamp for the same reason, so every ingress variant trains on the
     identical display-range distribution).  Covered incl. out-of-range
-    inputs by tests/test_trainer.py::test_compact_ingress_train_step."""
+    inputs by tests/test_trainer.py::test_compact_ingress_train_step.
+
+    `u8=True` (config.ingress_u8, requires `compact`) quantizes at 1/255
+    instead of 1/65535 — the source images are 8-bit PNGs, so this sits at
+    the source quantization; measured loss deltas in docs/perf.md."""
     import numpy as np
 
     views = [next(feed) for _ in range(batch_size)]
@@ -56,11 +61,67 @@ def _next_batch(feed, batch_size: int, compact: bool = False) -> dict:
         out = {k: np.concatenate([np.asarray(v[k]) for v in views], axis=0)
                for k in views[0]}
     if compact:
+        scale, dtype = (255.0, np.uint8) if u8 else (65535.0, np.uint16)
         for k in _COMPACT_KEYS:
             if k in out:
                 out[k] = np.round(
-                    np.clip(out[k], 0.0, 1.0) * 65535.0).astype(np.uint16)
+                    np.clip(out[k], 0.0, 1.0) * scale).astype(dtype)
     return {k: jnp.asarray(v) for k, v in out.items()}
+
+
+class _BatchPrefetcher:
+    """One-thread double buffer for the fit() inner loop: host-parse AND
+    host->device upload of batch i+1 overlap step i's device execution.
+
+    `jnp.asarray` inside `_next_batch` starts the transfer; on a
+    remote-attached chip the upload is the dominant per-step cost
+    (docs/perf.md "fit() end-to-end"), and without this buffer it
+    serializes with the device step.  `depth` bounds device-resident
+    staged batches (depth 1 = classic double buffering; more buys nothing
+    once the link is saturated but holds extra HBM)."""
+
+    def __init__(self, feed, batch_size: int, compact: bool, u8: bool,
+                 depth: int = 1):
+        import queue
+        import threading
+
+        self._queue_mod = queue
+        self._q = queue.Queue(maxsize=max(1, depth))
+        self._stop = threading.Event()
+
+        def work():
+            while not self._stop.is_set():
+                try:
+                    b = _next_batch(feed, batch_size, compact=compact, u8=u8)
+                except BaseException as e:        # surface on the consumer
+                    self._q.put(e)
+                    return
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(b, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+
+        self._thread = threading.Thread(target=work, daemon=True,
+                                        name="bsr-batch-prefetch")
+        self._thread.start()
+
+    def __next__(self) -> dict:
+        b = self._q.get()
+        if isinstance(b, BaseException):
+            raise b
+        return b
+
+    def close(self) -> None:
+        self._stop.set()
+        # drain so a put-blocked worker can observe the stop flag
+        try:
+            while True:
+                self._q.get_nowait()
+        except self._queue_mod.Empty:
+            pass
+        self._thread.join(timeout=5.0)
 
 
 class _UCBProbe:
@@ -214,44 +275,57 @@ def fit(config: Config, dataset_train, dataset_val=None,
                       static_argnames=("train",),
                       donate_argnames=("state",))
 
-    for epoch in range(last_epoch, config.max_epoch):
-        t0 = time.time()
-        for step in range(config.steps_per_epoch):
-            batch = _next_batch(feed, config.batch_size,
-                                compact=config.compact_ingress)
-            key, sub = jax.random.split(key)
-            state, losses, figs = step_fn(state, batch, sub, train=True)
-            # fetching losses synchronizes the device; throttle on TPU via
-            # config.log_every_steps (figure dumps keep their own schedule)
-            if step % config.log_every_steps == 0:
-                log.display(losses, epoch, step, True,
-                            config.steps_per_epoch)
-                log.save_figures([figs["img"], figs["gt"], figs["pred"],
-                                  figs["gs"], figs["mask_edge"]], True)
-
-        mgr.save(epoch + 1, state)
-        if probe is not None:
-            p = probe(state)
-            updated = mgr.save_best(epoch + 1, state, p)
-            rec = mgr.best_record()
-            print(f"probe: {len(probe._batches)}-image mean "
-                  f"{probe.metric_name} {p:.4f} {probe.metric_unit}".rstrip()
-                  + (" -> new best retained" if updated else
-                     f" (best {rec['metric']:.4f} @ epoch {rec['step']})"))
-        if feed_val is not None:
-            for step in range(config.steps_per_epoch // 10):
-                batch = _next_batch(feed_val, config.batch_size,
-                                    compact=config.compact_ingress)
+    # double buffer: batch i+1's host parse + upload overlap step i's
+    # device execution (the upload dominates on remote-attached chips)
+    prefetch = _BatchPrefetcher(
+        feed, config.batch_size, compact=config.compact_ingress,
+        u8=getattr(config, "ingress_u8", False))
+    try:
+        for epoch in range(last_epoch, config.max_epoch):
+            t0 = time.time()
+            for step in range(config.steps_per_epoch):
+                batch = next(prefetch)
                 key, sub = jax.random.split(key)
-                # the eval step returns the state unchanged; rebind it (the
-                # input buffers were donated)
-                state, losses, figs = step_fn(state, batch, sub, train=False)
-                log.display(losses, epoch, step, False,
-                            config.steps_per_epoch // 10)
-                log.save_figures([figs["img"], figs["gt"], figs["pred"]],
-                                 False)
-        print(f"\n*****Time for epoch {epoch + 1} is "
-              f"{int(time.time() - t0)} sec*****")
+                state, losses, figs = step_fn(state, batch, sub, train=True)
+                # fetching losses synchronizes the device; throttle on TPU
+                # via config.log_every_steps (figure dumps keep their own
+                # schedule)
+                if step % config.log_every_steps == 0:
+                    log.display(losses, epoch, step, True,
+                                config.steps_per_epoch)
+                    log.save_figures([figs["img"], figs["gt"], figs["pred"],
+                                      figs["gs"], figs["mask_edge"]], True)
+
+            mgr.save(epoch + 1, state)
+            if probe is not None:
+                p = probe(state)
+                updated = mgr.save_best(epoch + 1, state, p)
+                rec = mgr.best_record()
+                print(f"probe: {len(probe._batches)}-image mean "
+                      f"{probe.metric_name} {p:.4f} "
+                      f"{probe.metric_unit}".rstrip()
+                      + (" -> new best retained" if updated else
+                         f" (best {rec['metric']:.4f} @ epoch "
+                         f"{rec['step']})"))
+            if feed_val is not None:
+                for step in range(config.steps_per_epoch // 10):
+                    batch = _next_batch(feed_val, config.batch_size,
+                                        compact=config.compact_ingress,
+                                        u8=getattr(config, "ingress_u8",
+                                                   False))
+                    key, sub = jax.random.split(key)
+                    # the eval step returns the state unchanged; rebind it
+                    # (the input buffers were donated)
+                    state, losses, figs = step_fn(state, batch, sub,
+                                                  train=False)
+                    log.display(losses, epoch, step, False,
+                                config.steps_per_epoch // 10)
+                    log.save_figures([figs["img"], figs["gt"], figs["pred"]],
+                                     False)
+            print(f"\n*****Time for epoch {epoch + 1} is "
+                  f"{int(time.time() - t0)} sec*****")
+    finally:
+        prefetch.close()
 
     mgr.close()
     return state

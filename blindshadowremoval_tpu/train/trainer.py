@@ -251,7 +251,9 @@ class Trainer:
         in-graph — dtype is part of the jit signature, so the f32 path
         compiles without this code."""
         batch = {k: (v.astype(jnp.float32) / 65535.0
-                     if v.dtype == jnp.uint16 else v)
+                     if v.dtype == jnp.uint16 else
+                     v.astype(jnp.float32) / 255.0
+                     if v.dtype == jnp.uint8 else v)
                  for k, v in batch.items()}
         cfg = self.config
         if "img_dark" not in batch:

@@ -47,6 +47,12 @@ def main() -> None:
     ap.add_argument("--device-darken", action="store_true",
                     help="derive (gt, img_dark) in-graph "
                          "(config.device_darken wire format)")
+    ap.add_argument("--u8", action="store_true",
+                    help="quantize the compact wire at 1/255 (uint8) "
+                         "instead of 1/65535 (config.ingress_u8)")
+    ap.add_argument("--prefetch", action="store_true",
+                    help="double-buffer host parse + upload of batch i+1 "
+                         "behind step i (fit()'s _BatchPrefetcher)")
     args = ap.parse_args()
 
     import jax
@@ -64,6 +70,7 @@ def main() -> None:
         compute_dtype=args.compute_dtype, vgg_dtype=args.vgg_dtype,
         remat=True, device_geometry=True,
         compact_ingress=args.compact, device_darken=args.device_darken,
+        ingress_u8=args.u8,
         data_dirs=(args.data,), checkpoint_dir="/tmp/bench_fit_ckpt")
     ds = Dataset(cfg, "train", seed=0)
     print(f"corpus: {len(ds.name_list)} identities; "
@@ -92,10 +99,11 @@ def main() -> None:
           for k in views[0]}
     if args.compact:
         from blindshadowremoval_tpu.train.loop import _COMPACT_KEYS
+        scale, dt = (255.0, np.uint8) if args.u8 else (65535.0, np.uint16)
         for k in _COMPACT_KEYS:
             if k in up:
                 up[k] = np.round(
-                    np.clip(up[k], 0.0, 1.0) * 65535.0).astype(np.uint16)
+                    np.clip(up[k], 0.0, 1.0) * scale).astype(dt)
     nbytes = sum(v.nbytes for v in up.values())
     jax.block_until_ready(jax.device_put(up))          # warm the path
     t0 = time.perf_counter()
@@ -118,18 +126,28 @@ def main() -> None:
 
     print("compiling the train step ...", flush=True)
     for _ in range(args.warm):
-        b = _next_batch(feed, args.batch, compact=args.compact)
+        b = _next_batch(feed, args.batch, compact=args.compact, u8=args.u8)
         key, sub = jax.random.split(key)
         state, losses, _ = step_fn(state, b, sub, train=True)
     print(f"warm recon_c={float(losses['recon_c']):.4f}", flush=True)
 
+    get_batch = None
+    if args.prefetch:
+        from blindshadowremoval_tpu.train.loop import _BatchPrefetcher
+        get_batch = _BatchPrefetcher(feed, args.batch, compact=args.compact,
+                                     u8=args.u8)
+        next(get_batch)        # let the buffer fill so step 1 is overlapped
+
     t0 = time.perf_counter()
     for _ in range(args.steps):
-        b = _next_batch(feed, args.batch, compact=args.compact)
+        b = (next(get_batch) if get_batch is not None else
+             _next_batch(feed, args.batch, compact=args.compact, u8=args.u8))
         key, sub = jax.random.split(key)
         state, losses, _ = step_fn(state, b, sub, train=True)
     final = float(losses["recon_c"])      # syncs the whole chain
     dt = time.perf_counter() - t0
+    if get_batch is not None:
+        get_batch.close()
     views = 2 * args.batch
     step_s = dt / args.steps
     print(f"end-to-end fit() loop: {step_s * 1e3:.0f} ms/step at batch "
