@@ -121,8 +121,23 @@ class DeshadowPipeline:
         bxs: list[Optional[Sequence[float]]] = (
             list(boxes) if boxes is not None else [None] * n)
 
-        # ---- stage 1: detect (only images lacking both lm and box)
+        bxs, t.detect = self._stage_detect(images, lms, bxs)
+        lms, t.align = self._stage_align(images, lms, bxs)
+        crops, t.crop = self._stage_crop(images, lms)
+        results, t.deshadow, t.faces = self._stage_deshadow(crops, bxs)
+        self.last_times = t
+        return results
+
+    # ------------------------------------------------------------ stages
+    # Each stage is self-contained (inputs -> outputs + wall seconds) so
+    # the serial __call__ and the overlapped run_dir pipeline share one
+    # implementation.
+
+    def _stage_detect(self, images, lms, bxs):
+        """Stage 1: S3FD boxes for images lacking both lm and box."""
+        n = len(images)
         need_det = [i for i in range(n) if lms[i] is None and bxs[i] is None]
+        dt = 0.0
         if need_det:
             if self.detector is None:
                 raise ValueError(
@@ -134,10 +149,15 @@ class DeshadowPipeline:
                 # best-scoring face only, the reference's preds[0] contract
                 # (bmvc2022-dataprocess.py:22)
                 bxs[i] = tuple(d[0, :4]) if len(d) else None
-            t.detect = time.perf_counter() - t0
+            dt = time.perf_counter() - t0
+        return bxs, dt
 
-        # ---- stage 2: align (only images with a box but no landmarks)
-        need_lm = [i for i in range(n) if lms[i] is None and bxs[i] is not None]
+    def _stage_align(self, images, lms, bxs):
+        """Stage 2: 2D-FAN landmarks for images with a box but no lm."""
+        n = len(images)
+        need_lm = [i for i in range(n)
+                   if lms[i] is None and bxs[i] is not None]
+        dt = 0.0
         if need_lm:
             if self.aligner is None:
                 raise ValueError(
@@ -148,24 +168,28 @@ class DeshadowPipeline:
                                [bxs[i] for i in need_lm])
             for i, p in zip(need_lm, pts):
                 lms[i] = p
-            t.align = time.perf_counter() - t0
+            dt = time.perf_counter() - t0
+        return lms, dt
 
-        # ---- stage 3: offline crop/align (host, dataprocess.py semantics)
+    def _stage_crop(self, images, lms):
+        """Stage 3: offline crop/align (host, dataprocess.py semantics)."""
         t0 = time.perf_counter()
         crops: list[Optional[tuple]] = []
-        for i in range(n):
+        for i in range(len(images)):
             if lms[i] is None:
                 crops.append(None)
                 continue
             crops.append(offline_crop(images[i], lms[i],
                                       out_size=self.config.img_size,
                                       min_face=self.min_face))
-        t.crop = time.perf_counter() - t0
+        return crops, time.perf_counter() - t0
 
-        # ---- stage 4: batched deshadow through the serving engine
+    def _stage_deshadow(self, crops, bxs):
+        """Stage 4: batched serving forward + mask-gated composite."""
+        n = len(crops)
         keep = [i for i, c in enumerate(crops) if c is not None]
-        t.faces = len(keep)
         results: list[Optional[dict]] = [None] * n
+        dt = 0.0
         if keep:
             t0 = time.perf_counter()
             # crops are uint8-scaled [0,255] out of offline_crop; the
@@ -173,7 +197,7 @@ class DeshadowPipeline:
             svc_out = self.service.remove_shadows(
                 [crops[i][0] / 255.0 for i in keep],
                 [crops[i][1] for i in keep])
-            t.deshadow = time.perf_counter() - t0
+            dt = time.perf_counter() - t0
             for i, r in zip(keep, svc_out):
                 mask = np.clip(np.asarray(r["mask_pred"], np.float32),
                                0.0, 1.0)
@@ -184,33 +208,47 @@ class DeshadowPipeline:
                     "crop": r["img"], "lm": crops[i][1],
                     "box": bxs[i], "crop_box": r["box"],
                 }
-        self.last_times = t
-        return results
+        return results, dt, len(keep)
 
     # ------------------------------------------------------------- dirs
     def run_dir(self, input_dir: str, output_dir: str,
-                batch_files: int = 16) -> dict:
+                batch_files: int = 16, overlap: bool = True) -> dict:
         """Every PNG under `input_dir` -> `<output_dir>/<name>-out.png`
         (composited), `-pred.png`, `-mask.png`.  PNGs with a sibling
         `<name>.npy` use those landmarks (the reference's shipped
         contract); the rest go through detect+align.  Returns aggregate
-        stage timings."""
+        stage timings plus the composed wall.
+
+        `overlap=True` (default) runs the stages as a depth-1 thread
+        pipeline over file chunks — read/decode, detect, align, crop, and
+        deshadow+write each work on a DIFFERENT chunk concurrently, so
+        composed throughput approaches the slowest stage instead of the
+        serial sum (the reference's flow is three separate manual scripts
+        with intermediate files, bmvc2022-dataprocess.py + dataprocess.py +
+        train_test_GSC.py:934-948; measured rows in docs/perf.md)."""
         import glob
+        import queue
+        import threading
 
         import cv2
 
         os.makedirs(output_dir, exist_ok=True)
         files = sorted(glob.glob(os.path.join(input_dir, "*.png")))
         agg = StageTimes()
+        agg_lock = threading.Lock()
         done = 0
-        for start in range(0, len(files), batch_files):
-            chunk = files[start:start + batch_files]
+        t_wall = time.perf_counter()
+
+        def read_chunk(chunk):
             imgs, lms = [], []
             for f in chunk:
                 imgs.append(cv2.cvtColor(cv2.imread(f), cv2.COLOR_BGR2RGB))
                 npy = f.rsplit(".", 1)[0] + ".npy"
                 lms.append(np.load(npy) if os.path.isfile(npy) else None)
-            res = self(imgs, landmarks=lms)
+            return imgs, lms
+
+        def write_results(chunk, res):
+            nonlocal done
             for f, r in zip(chunk, res):
                 if r is None:
                     print(f"no face: {f}")
@@ -226,13 +264,104 @@ class DeshadowPipeline:
                         os.path.join(output_dir, f"{name}-{suffix}.png"),
                         cv2.cvtColor(img8, cv2.COLOR_RGB2BGR))
                 done += 1
-            lt = self.last_times
-            agg.detect += lt.detect
-            agg.align += lt.align
-            agg.crop += lt.crop
-            agg.deshadow += lt.deshadow
-            agg.images += lt.images
-            agg.faces += lt.faces
+
+        if not overlap:
+            for start in range(0, len(files), batch_files):
+                chunk = files[start:start + batch_files]
+                imgs, lms = read_chunk(chunk)
+                res = self(imgs, landmarks=lms)
+                write_results(chunk, res)
+                lt = self.last_times
+                agg.detect += lt.detect
+                agg.align += lt.align
+                agg.crop += lt.crop
+                agg.deshadow += lt.deshadow
+                agg.images += lt.images
+                agg.faces += lt.faces
+            stats = agg.as_dict()
+            stats["wall"] = time.perf_counter() - t_wall
+            stats["written"] = done
+            return stats
+
+        # ---- depth-1 stage pipeline: four queue-connected worker threads
+        # (read -> detect -> align -> crop), deshadow+write on this thread.
+        # Device stages block on tunnel RPCs and host stages on cv2/numpy —
+        # both release the GIL, so the chunks genuinely overlap.
+        def det_fn(chunk, imgs, lms, bxs):
+            bxs, dt = self._stage_detect(imgs, lms, bxs)
+            with agg_lock:
+                agg.detect += dt
+            return chunk, imgs, lms, bxs
+
+        def aln_fn(chunk, imgs, lms, bxs):
+            lms, dt = self._stage_align(imgs, lms, bxs)
+            with agg_lock:
+                agg.align += dt
+            return chunk, imgs, lms, bxs
+
+        def crop_fn(chunk, imgs, lms, bxs):
+            crops, dt = self._stage_crop(imgs, lms)
+            with agg_lock:
+                agg.crop += dt
+            return chunk, crops, bxs
+
+        def reader(q_out):
+            try:
+                for start in range(0, len(files), batch_files):
+                    chunk = files[start:start + batch_files]
+                    imgs, lms = read_chunk(chunk)
+                    q_out.put(("item",
+                               (chunk, imgs, lms, [None] * len(imgs))))
+                q_out.put(("end", None))
+            except BaseException as e:     # pragma: no cover - IO errors
+                q_out.put(("err", e))
+
+        def stage_worker(q_in, q_out, fn):
+            while True:
+                kind, payload = q_in.get()
+                if kind != "item":
+                    q_out.put((kind, payload))
+                    return
+                try:
+                    q_out.put(("item", fn(*payload)))
+                except BaseException as e:
+                    q_out.put(("err", e))
+                    return
+
+        q_read, q_det, q_aln, q_crop = (queue.Queue(maxsize=1)
+                                        for _ in range(4))
+        threads = [
+            threading.Thread(target=reader, args=(q_read,), daemon=True),
+            threading.Thread(target=stage_worker,
+                             args=(q_read, q_det, det_fn), daemon=True),
+            threading.Thread(target=stage_worker,
+                             args=(q_det, q_aln, aln_fn), daemon=True),
+            threading.Thread(target=stage_worker,
+                             args=(q_aln, q_crop, crop_fn), daemon=True),
+        ]
+        for th in threads:
+            th.start()
+        try:
+            while True:
+                kind, payload = q_crop.get()
+                if kind == "err":
+                    raise payload
+                if kind == "end":
+                    break
+                chunk, crops, bxs = payload
+                results, dt, faces = self._stage_deshadow(crops, bxs)
+                with agg_lock:
+                    agg.deshadow += dt
+                    agg.images += len(chunk)
+                    agg.faces += faces
+                write_results(chunk, results)
+        finally:
+            for th in threads:
+                th.join(timeout=5.0)
         stats = agg.as_dict()
+        wall = time.perf_counter() - t_wall
+        stats["wall"] = wall
+        if agg.images:
+            stats["images_per_s_wall"] = agg.images / wall
         stats["written"] = done
         return stats

@@ -193,14 +193,29 @@ def test_pipeline_run_dir_writes_outputs(tmp_path):
         shutil.copy(os.path.join(SAMPLE, name + ".npy"), indir)
 
     pipe = DeshadowPipeline(cfg, variables, batch_size=2)
-    stats = pipe.run_dir(str(indir), str(tmp_path / "out"))
+    # batch_files=1 -> two chunks, so the overlapped stage pipeline
+    # actually streams (read/detect/align/crop/deshadow on different
+    # chunks concurrently)
+    stats = pipe.run_dir(str(indir), str(tmp_path / "out"), batch_files=1)
     assert stats["written"] == 2
     assert stats["faces"] == 2 and stats["images"] == 2
+    assert stats["wall"] > 0
     for name in ("01001", "01002"):
         for sfx in ("out", "pred", "mask"):
             p = tmp_path / "out" / f"{name}-{sfx}.png"
             assert p.is_file()
             assert cv2.imread(str(p)).shape == (256, 256, 3)
+
+    # the serial path must write byte-identical outputs (the overlapped
+    # pipeline reorders WORK, never data)
+    stats2 = pipe.run_dir(str(indir), str(tmp_path / "out2"), batch_files=1,
+                          overlap=False)
+    assert stats2["written"] == 2
+    for name in ("01001", "01002"):
+        for sfx in ("out", "pred", "mask"):
+            a = cv2.imread(str(tmp_path / "out" / f"{name}-{sfx}.png"))
+            b = cv2.imread(str(tmp_path / "out2" / f"{name}-{sfx}.png"))
+            np.testing.assert_array_equal(a, b)
 
 
 @pytest.mark.slow

@@ -108,8 +108,51 @@ def main() -> None:
           f"crop {lt.crop:.2f}s deshadow {lt.deshadow:.2f}s)", flush=True)
 
     per_img = t_det / args.images + t_acd / args.images
-    print(f"e2e composed: {1.0 / per_img:.1f} raw images/s "
+    print(f"e2e composed (stage sums): {1.0 / per_img:.1f} raw images/s "
           f"({1e3 * per_img:.2f} ms/image single-process)", flush=True)
+
+    # ---- composed run_dir A/B: serial stages vs the depth-1 overlapped
+    # stage pipeline (eval/e2e.py run_dir overlap=True) on the SAME files,
+    # full neural path (no .npy sidecars).  The random-weight detector
+    # rarely keeps a box, so fall back to the canonical centered box per
+    # image AFTER the real detect work — detect timing stays honest and
+    # every downstream stage processes a full load.
+    import shutil
+    import tempfile
+
+    import cv2
+
+    orig_det = pipe._stage_detect
+
+    def det_with_fallback(imgs_, lms_, bxs_):
+        bxs_, dt = orig_det(imgs_, lms_, bxs_)
+        for i in range(len(bxs_)):
+            if lms_[i] is None and bxs_[i] is None:
+                bxs_[i] = (w * 0.3, h * 0.2, w * 0.7, h * 0.8)
+        return bxs_, dt
+
+    pipe._stage_detect = det_with_fallback
+    tmpd = tempfile.mkdtemp(prefix="bench_e2e_imgs_")
+    for i, im in enumerate(images):
+        cv2.imwrite(os.path.join(tmpd, f"img{i:04d}.png"),
+                    cv2.cvtColor(im, cv2.COLOR_RGB2BGR))
+    try:
+        for overlap in (False, True):
+            outd = tempfile.mkdtemp(prefix="bench_e2e_out_")
+            stats = pipe.run_dir(tmpd, outd, batch_files=args.det_batch,
+                                 overlap=overlap)
+            name = "overlapped" if overlap else "serial"
+            print(f"run_dir {name}: wall {stats['wall']:.2f}s = "
+                  f"{stats['images'] / stats['wall']:.1f} raw images/s "
+                  f"(stage sums: det {stats['detect']:.2f} "
+                  f"align {stats['align']:.2f} crop {stats['crop']:.2f} "
+                  f"deshadow {stats['deshadow']:.2f}; "
+                  f"{stats['faces']} faces, {stats['written']} written)",
+                  flush=True)
+            shutil.rmtree(outd, ignore_errors=True)
+    finally:
+        pipe._stage_detect = orig_det
+        shutil.rmtree(tmpd, ignore_errors=True)
 
 
 if __name__ == "__main__":
