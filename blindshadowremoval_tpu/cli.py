@@ -116,11 +116,16 @@ def build_parser():
     p.add_argument("--device-geometry", action="store_true",
                    help="rasterize UV/offset/face maps in-graph instead of "
                         "on the host (2x faster host pipeline)")
-    p.add_argument("--device-darken", action="store_true",
+    p.add_argument("--device-darken", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="derive the jittered (gt, img_dark) pair in the "
                         "jitted train step instead of on the host: drops "
                         "img_dark from the host->device wire (3 of 7 image "
-                        "channels) and the per-sample host tone-curve work")
+                        "channels) and the per-sample host tone-curve work. "
+                        "ON by default (measured in docs/perf.md \"fit() "
+                        "end-to-end\"); --no-device-darken restores the "
+                        "host f32 darkening (unclamped CTM excursions — "
+                        "see config.device_darken)")
     p.add_argument("--steps-per-epoch", type=int, default=2000)
     p.add_argument("--max-epoch", type=int, default=300)
     p.add_argument("--batch-size", type=int, default=1)
@@ -149,10 +154,17 @@ def build_parser():
     p.add_argument("--probe-images", type=int, default=20,
                    help="images in the --select-best probe subset")
     p.add_argument("--no-compact-ingress", action="store_true",
-                   help="upload train batches as f32 instead of uint16 "
+                   help="upload train batches as f32 instead of uint16/8 "
                         "fixed-point (compact ingress is on by default for "
                         "the CLI: the [0,1] image planes are the dominant "
-                        "host->device transfer; quantization step 1/65535)")
+                        "host->device transfer)")
+    p.add_argument("--u8-ingress", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="quantize the compact train wire at 1/255 (uint8) "
+                        "instead of 1/65535 — half the bytes again; the "
+                        "source PNGs are 8-bit, so this sits at the source "
+                        "quantization (loss deltas measured in docs/perf.md"
+                        "). --no-u8-ingress keeps the uint16 wire")
     p.add_argument("--probe-metric", default="psnr",
                    choices=["psnr", "auc"],
                    help="quality axis for --select-best: 'psnr' probes a "
@@ -196,6 +208,13 @@ def build_parser():
                    help="generator batch in the deshadow stage")
     p.add_argument("--batch-files", type=int, default=16,
                    help="images read from disk per pipeline call")
+    p.add_argument("--overlap", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="run the read/detect/align/crop/deshadow stages as "
+                        "a depth-1 thread pipeline over file chunks, so "
+                        "composed throughput approaches the slowest stage "
+                        "instead of the serial sum (docs/perf.md); "
+                        "--no-overlap restores strictly serial stages")
     p.add_argument("--min-face", type=int, default=250,
                    help="reject faces below this crop side "
                         "(dataprocess.py:66)")
@@ -292,6 +311,8 @@ def main(argv=None):
             device_darken=args.device_darken)
         if not args.no_compact_ingress:
             overrides["compact_ingress"] = True
+            if args.u8_ingress:
+                overrides["ingress_u8"] = True
         if args.select_best:
             needs_masks = getattr(args, "probe_metric", "psnr") == "psnr"
             if not args.probe_data or (needs_masks
@@ -489,7 +510,8 @@ def run_e2e(args):
         min_face=args.min_face, batch_size=args.serve_batch,
         compact_output=True, compact_ingress=True)
     stats = pipe.run_dir(args.input, args.output,
-                         batch_files=args.batch_files)
+                         batch_files=args.batch_files,
+                         overlap=args.overlap)
     print("e2e:", {k: (round(v, 4) if isinstance(v, float) else v)
                    for k, v in stats.items()})
     return 0
