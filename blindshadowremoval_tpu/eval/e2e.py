@@ -328,8 +328,15 @@ class DeshadowPipeline:
                     q_out.put(("err", e))
                     return
 
-        q_read, q_det, q_aln, q_crop = (queue.Queue(maxsize=1)
-                                        for _ in range(4))
+        def writer(q_in):
+            while True:
+                kind, payload = q_in.get()
+                if kind != "item":
+                    return
+                write_results(*payload)
+
+        q_read, q_det, q_aln, q_crop, q_write = (queue.Queue(maxsize=1)
+                                                 for _ in range(5))
         threads = [
             threading.Thread(target=reader, args=(q_read,), daemon=True),
             threading.Thread(target=stage_worker,
@@ -338,6 +345,7 @@ class DeshadowPipeline:
                              args=(q_det, q_aln, aln_fn), daemon=True),
             threading.Thread(target=stage_worker,
                              args=(q_aln, q_crop, crop_fn), daemon=True),
+            threading.Thread(target=writer, args=(q_write,), daemon=True),
         ]
         for th in threads:
             th.start()
@@ -354,10 +362,11 @@ class DeshadowPipeline:
                     agg.deshadow += dt
                     agg.images += len(chunk)
                     agg.faces += faces
-                write_results(chunk, results)
+                q_write.put(("item", (chunk, results)))
         finally:
+            q_write.put(("end", None))
             for th in threads:
-                th.join(timeout=5.0)
+                th.join(timeout=30.0)
         stats = agg.as_dict()
         wall = time.perf_counter() - t_wall
         stats["wall"] = wall

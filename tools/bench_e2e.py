@@ -133,13 +133,18 @@ def main() -> None:
 
     pipe._stage_detect = det_with_fallback
     tmpd = tempfile.mkdtemp(prefix="bench_e2e_imgs_")
-    for i, im in enumerate(images):
+    # 3 chunks at the SERVE batch so the deshadow stage never pads (a
+    # chunk smaller than the serving batch wastes the padded lanes) and
+    # the stage pipeline has real streaming depth
+    n_ab = 3 * args.serve_batch
+    for i in range(n_ab):
+        im = images[i % len(images)]
         cv2.imwrite(os.path.join(tmpd, f"img{i:04d}.png"),
                     cv2.cvtColor(im, cv2.COLOR_RGB2BGR))
     try:
         for overlap in (False, True):
             outd = tempfile.mkdtemp(prefix="bench_e2e_out_")
-            stats = pipe.run_dir(tmpd, outd, batch_files=args.det_batch,
+            stats = pipe.run_dir(tmpd, outd, batch_files=args.serve_batch,
                                  overlap=overlap)
             name = "overlapped" if overlap else "serial"
             print(f"run_dir {name}: wall {stats['wall']:.2f}s = "

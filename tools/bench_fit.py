@@ -53,6 +53,12 @@ def main() -> None:
     ap.add_argument("--prefetch", action="store_true",
                     help="double-buffer host parse + upload of batch i+1 "
                          "behind step i (fit()'s _BatchPrefetcher)")
+    ap.add_argument("--sync-every", type=int, default=0,
+                    help="fetch a loss scalar every N steps (fit() with "
+                         "--log-every N does this); each fetch drains the "
+                         "dispatch pipeline, which is where the prefetcher "
+                         "pays — without syncs the async dispatch queue "
+                         "already overlaps uploads")
     args = ap.parse_args()
 
     import jax
@@ -139,11 +145,13 @@ def main() -> None:
         next(get_batch)        # let the buffer fill so step 1 is overlapped
 
     t0 = time.perf_counter()
-    for _ in range(args.steps):
+    for i in range(args.steps):
         b = (next(get_batch) if get_batch is not None else
              _next_batch(feed, args.batch, compact=args.compact, u8=args.u8))
         key, sub = jax.random.split(key)
         state, losses, _ = step_fn(state, b, sub, train=True)
+        if args.sync_every and (i % args.sync_every == 0):
+            float(losses["recon_c"])       # the fit() log fetch
     final = float(losses["recon_c"])      # syncs the whole chain
     dt = time.perf_counter() - t0
     if get_batch is not None:

@@ -28,6 +28,9 @@ import time
 import numpy as np
 
 
+# bench.py is the repo-root driver harness, not part of the installed
+# package -- resolve it relative to this file
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import timed_scan_fn  # noqa: E402  (shared measurement harness)
 
 

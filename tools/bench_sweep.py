@@ -15,8 +15,10 @@ import json
 import os
 import sys
 
-
-from bench import (ITERS, init_serving_variables, make_gen, make_inputs,
+# bench.py is the repo-root driver harness, not part of the installed
+# package — resolve it relative to this file
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import (ITERS, init_serving_variables, make_gen, make_inputs,  # noqa: E402
                    timed_scan)
 
 

@@ -35,6 +35,7 @@ def main():
     enable_persistent_cache()
     import jax.numpy as jnp
 
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # repo-root bench.py harness
     import bench  # the headline harness: identical model configuration
 
     gen = bench.make_gen(int8_head=args.int8_head)
