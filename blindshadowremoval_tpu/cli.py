@@ -130,6 +130,14 @@ def build_parser():
     p.add_argument("--max-epoch", type=int, default=300)
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr-decay", type=float, default=1.0,
+                   help="staircase LR decay factor applied every "
+                        "--lr-decay-epochs epochs (1.0 = constant). The "
+                        "reference declares 0.9/10-epochs but never wires "
+                        "it (train_test_GSC.py:41,48,162); here it is a "
+                        "real schedule. Changes the optimizer state tree — "
+                        "use a fresh checkpoint dir")
+    p.add_argument("--lr-decay-epochs", type=float, default=10.0)
     p.add_argument("--log-every", type=int, default=1,
                    help="fetch/print losses every N steps; each fetch syncs "
                         "the device (one ~40 ms tunnel roundtrip on remote "
@@ -306,6 +314,8 @@ def main(argv=None):
             steps_per_epoch=args.steps_per_epoch,
             max_epoch=args.max_epoch, batch_size=args.batch_size,
             learning_rate=args.lr,
+            lr_decay_factor=args.lr_decay,
+            lr_decay_epochs=args.lr_decay_epochs,
             log_every_steps=args.log_every,
             device_geometry=args.device_geometry,
             device_darken=args.device_darken)

@@ -39,6 +39,16 @@ class Config:
     max_epoch: int = 300               # train_test_GSC.py:38
     batch_size: int = 1                # per-view batch; each sample carries 2 mirrored views
     learning_rate: float = 1e-4        # train_test_GSC.py:47
+    lr_decay_factor: float = 1.0       # staircase LR decay (1.0 = constant).
+                                       # The reference declares the schedule
+                                       # (LEARNING_RATE_DECAY_FACTOR=0.9,
+                                       # NUM_EPOCHS_PER_DECAY=10 and an
+                                       # update_lr() helper,
+                                       # train_test_GSC.py:41,48,162-164) but
+                                       # never calls it; here it is a real,
+                                       # tested opt-in (see train/trainer.py)
+    lr_decay_epochs: float = 10.0      # epochs between decay steps
+                                       # (train_test_GSC.py:41)
     img_log_freq: int = 100            # IMG_LOG_FR
     txt_log_freq: int = 1000           # TXT_LOG_FR
     log_every_steps: int = 1           # loss-fetch cadence; raise on TPU so

@@ -132,8 +132,24 @@ class Trainer:
             num_layers=cfg.n_layer_d, dtype=jnp.dtype(cfg.compute_dtype))
         self.vgg = VGG19Features(
             dtype=jnp.dtype(getattr(cfg, "vgg_dtype", "float32")))
-        self.gen_tx = optax.adam(cfg.learning_rate, eps=1e-7)
-        self.disc_tx = optax.adam(cfg.learning_rate, eps=1e-7)
+        # LR: constant by default (the reference declares a 0.9-every-10-
+        # epochs staircase + update_lr() but never invokes either,
+        # train_test_GSC.py:41,48,162-164).  lr_decay_factor < 1.0 opts into
+        # that declared schedule for real, as an optax staircase keyed on
+        # the optimizer step count — same Adam state tree plus a schedule
+        # counter, so it is NOT checkpoint-state-compatible with constant-LR
+        # runs (start a fresh ckpt dir when flipping it).
+        if getattr(cfg, "lr_decay_factor", 1.0) != 1.0:
+            lr = optax.exponential_decay(
+                init_value=cfg.learning_rate,
+                transition_steps=max(
+                    1, int(cfg.lr_decay_epochs * cfg.steps_per_epoch)),
+                decay_rate=cfg.lr_decay_factor,
+                staircase=True)
+        else:
+            lr = cfg.learning_rate
+        self.gen_tx = optax.adam(lr, eps=1e-7)
+        self.disc_tx = optax.adam(lr, eps=1e-7)
 
     # ------------------------------------------------------------- state
     def init_state(self, key: jax.Array) -> TrainState:

@@ -151,3 +151,38 @@ def test_ucb_part_masks_missing_raises(tmp_path):
         ev._load_part_masks(str(root), 0)
     with pytest.raises(FileNotFoundError, match=fname):
         ev._load_part_masks(str(root), 0, sample_name="vid/0001.npy")
+
+
+def test_lr_decay_schedule():
+    """config.lr_decay_factor builds a staircase Adam LR: constant within an
+    epoch window, scaled by the factor at each transition (the schedule the
+    reference declares but never wires, train_test_GSC.py:41,48,162-164)."""
+    import jax.numpy as jnp
+    import optax
+
+    from blindshadowremoval_tpu.train.trainer import Trainer
+
+    cfg = get_config("train", steps_per_epoch=2, lr_decay_factor=0.5,
+                     lr_decay_epochs=1.0)
+    tx = Trainer(cfg).gen_tx
+    params = {"w": jnp.zeros((3,))}
+    opt_state = tx.init(params)
+    grads = {"w": jnp.ones((3,))}
+    # Adam with constant grads updates by ~lr (mhat/sqrt(vhat) == 1)
+    steps = []
+    for _ in range(4):
+        upd, opt_state = tx.update(grads, opt_state, params)
+        steps.append(float(jnp.abs(upd["w"]).mean()))
+    lr = cfg.learning_rate
+    np.testing.assert_allclose(steps[0], lr, rtol=1e-3)
+    np.testing.assert_allclose(steps[1], lr, rtol=1e-3)        # same window
+    np.testing.assert_allclose(steps[2], lr * 0.5, rtol=1e-3)  # 1 transition
+    np.testing.assert_allclose(steps[3], lr * 0.5, rtol=1e-3)
+
+    # default config stays the constant-LR, schedule-free optimizer
+    cfg0 = get_config("train")
+    tx0 = Trainer.shared(cfg0).gen_tx
+    s0 = tx0.init(params)
+    upd0, _ = tx0.update(grads, s0, params)
+    np.testing.assert_allclose(float(jnp.abs(upd0["w"]).mean()),
+                               cfg0.learning_rate, rtol=1e-3)
