@@ -265,6 +265,15 @@ class DeshadowPipeline:
                         cv2.cvtColor(img8, cv2.COLOR_RGB2BGR))
                 done += 1
 
+        def finish_stats():
+            stats = agg.as_dict()
+            wall = time.perf_counter() - t_wall
+            stats["wall"] = wall
+            if agg.images:
+                stats["images_per_s_wall"] = agg.images / wall
+            stats["written"] = done
+            return stats
+
         if not overlap:
             for start in range(0, len(files), batch_files):
                 chunk = files[start:start + batch_files]
@@ -278,10 +287,7 @@ class DeshadowPipeline:
                 agg.deshadow += lt.deshadow
                 agg.images += lt.images
                 agg.faces += lt.faces
-            stats = agg.as_dict()
-            stats["wall"] = time.perf_counter() - t_wall
-            stats["written"] = done
-            return stats
+            return finish_stats()
 
         # ---- depth-1 stage pipeline: four queue-connected worker threads
         # (read -> detect -> align -> crop), deshadow+write on this thread.
@@ -305,35 +311,66 @@ class DeshadowPipeline:
                 agg.crop += dt
             return chunk, crops, bxs
 
+        # cooperative shutdown: every blocking put/get loops on `stop` so an
+        # error anywhere (or the main thread bailing) unblocks producers
+        # parked on the depth-1 queues instead of leaking them with their
+        # decoded-chunk payloads until the 30 s joins time out
+        stop = threading.Event()
+        writer_err = []
+
+        def _put(q, item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def reader(q_out):
             try:
                 for start in range(0, len(files), batch_files):
                     chunk = files[start:start + batch_files]
                     imgs, lms = read_chunk(chunk)
-                    q_out.put(("item",
-                               (chunk, imgs, lms, [None] * len(imgs))))
-                q_out.put(("end", None))
+                    if not _put(q_out,
+                                ("item",
+                                 (chunk, imgs, lms, [None] * len(imgs)))):
+                        return
+                _put(q_out, ("end", None))
             except BaseException as e:     # pragma: no cover - IO errors
-                q_out.put(("err", e))
+                _put(q_out, ("err", e))
 
         def stage_worker(q_in, q_out, fn):
-            while True:
-                kind, payload = q_in.get()
+            while not stop.is_set():
+                try:
+                    kind, payload = q_in.get(timeout=0.5)
+                except queue.Empty:
+                    continue
                 if kind != "item":
-                    q_out.put((kind, payload))
+                    _put(q_out, (kind, payload))
                     return
                 try:
-                    q_out.put(("item", fn(*payload)))
+                    item = ("item", fn(*payload))
                 except BaseException as e:
-                    q_out.put(("err", e))
+                    _put(q_out, ("err", e))
+                    return
+                if not _put(q_out, item):
                     return
 
         def writer(q_in):
-            while True:
-                kind, payload = q_in.get()
+            while not stop.is_set():
+                try:
+                    kind, payload = q_in.get(timeout=0.5)
+                except queue.Empty:
+                    continue
                 if kind != "item":
                     return
-                write_results(*payload)
+                if writer_err:      # drain so the producer's put can't block
+                    continue
+                try:
+                    write_results(*payload)
+                except BaseException as e:
+                    writer_err.append(e)
 
         q_read, q_det, q_aln, q_crop, q_write = (queue.Queue(maxsize=1)
                                                  for _ in range(5))
@@ -362,15 +399,16 @@ class DeshadowPipeline:
                     agg.deshadow += dt
                     agg.images += len(chunk)
                     agg.faces += faces
-                q_write.put(("item", (chunk, results)))
-        finally:
-            q_write.put(("end", None))
+                if not _put(q_write, ("item", (chunk, results))):
+                    break
+            # let the writer drain its queue before signalling shutdown
+            _put(q_write, ("end", None))
             for th in threads:
                 th.join(timeout=30.0)
-        stats = agg.as_dict()
-        wall = time.perf_counter() - t_wall
-        stats["wall"] = wall
-        if agg.images:
-            stats["images_per_s_wall"] = agg.images / wall
-        stats["written"] = done
-        return stats
+        finally:
+            stop.set()
+            for th in threads:
+                th.join(timeout=5.0)
+        if writer_err:
+            raise writer_err[0]
+        return finish_stats()

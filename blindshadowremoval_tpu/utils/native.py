@@ -11,6 +11,7 @@ import ctypes
 import os
 import subprocess
 import threading
+from typing import Optional
 
 import numpy as np
 
@@ -22,16 +23,21 @@ _lib = None
 _tried = False
 
 
-def _so_path() -> str:
+def _so_path() -> Optional[str]:
     """Build target: next to the source when writable (editable install /
     repo checkout), else a per-user cache dir (site-packages installs are
-    often read-only)."""
+    often read-only).  None when neither is writable (e.g. read-only
+    container with an unwritable HOME) — get_lib() then degrades to the
+    numpy fallbacks instead of raising out of its documented contract."""
     pkg_dir = os.path.dirname(_SRC)
     if os.access(pkg_dir, os.W_OK):
         return os.path.join(pkg_dir, "libbsrloader.so")
     cache = os.path.join(os.path.expanduser("~"), ".cache",
                          "blindshadowremoval_tpu")
-    os.makedirs(cache, exist_ok=True)
+    try:
+        os.makedirs(cache, exist_ok=True)
+    except OSError:
+        return None
     return os.path.join(cache, "libbsrloader.so")
 
 
@@ -55,6 +61,8 @@ def get_lib():
             return _lib
         _tried = True
         so = _so_path()
+        if so is None:
+            return None
         if not os.path.isfile(so) or (
                 os.path.isfile(_SRC)
                 and os.path.getmtime(so) < os.path.getmtime(_SRC)):

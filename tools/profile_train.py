@@ -19,7 +19,13 @@ import sys
 import numpy as np
 
 
-from tools.trace_utils import parse_device_events, print_top  # noqa: E402
+# sibling import: works both as `python tools/profile_X.py` (sys.path[0]
+# is tools/) and from a repo-root cwd (fallback insert below)
+try:
+    from trace_utils import parse_device_events, print_top  # noqa: E402
+except ImportError:  # pragma: no cover - repo-root cwd / embedded use
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from trace_utils import parse_device_events, print_top  # noqa: E402
 
 
 def main():
