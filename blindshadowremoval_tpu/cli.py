@@ -249,22 +249,42 @@ def build_parser():
 
 
 def _restore(cfg):
+    import contextlib
     import dataclasses
 
     import jax
+    import numpy as np
 
-    from blindshadowremoval_tpu.train.trainer import Trainer
+    from blindshadowremoval_tpu.train.trainer import build_generator
     from blindshadowremoval_tpu.utils.checkpoint import CheckpointManager
 
-    # the Trainer always restores the live-BatchNorm f32-egress tree; the
-    # serving flags below transform cfg/variables for the eval paths only
-    trainer = Trainer.shared(dataclasses.replace(
-        cfg, fold_bn=False, egress_dtype="float32"))
-    state = trainer.init_state(jax.random.PRNGKey(0))
+    # eval needs ONLY the generator sub-tree: init it (host CPU, cheap —
+    # no discriminators/VGG/optimizer moments) as the restore template and
+    # partially restore just gen params+stats (utils/checkpoint.py
+    # restore_eval).  This is also what makes eval robust to optimizer-
+    # state tree differences, e.g. checkpoints trained with --lr-decay.
+    # The template always uses the live-BatchNorm f32-egress tree; the
+    # serving flags below transform cfg/variables for the eval paths only.
+    base = dataclasses.replace(cfg, fold_bn=False, egress_dtype="float32")
+    gen = build_generator(base)
+    try:
+        _ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
+    except RuntimeError:                   # no CPU backend registered
+        _ctx = contextlib.nullcontext()
+    s = base.img_size
+    b2 = base.batch_size * 2
+    zi = jax.numpy.zeros((b2, s, s, 3), jax.numpy.float32)
+    zr = jax.numpy.zeros((b2, s, s, 6), jax.numpy.float32)
+    with _ctx:
+        if base.variant == "tsm":
+            gvars = gen.init(jax.random.PRNGKey(0), zi, zi, zr, frame=2)
+        else:
+            gvars = gen.init(jax.random.PRNGKey(0), zi, zi, zr)
+    gvars = jax.tree.map(np.asarray, gvars)   # placement-neutral leaves
     mgr = CheckpointManager(cfg.checkpoint_dir)
-    state, step = mgr.restore_latest(state)
+    variables, step = mgr.restore_eval(gvars["params"],
+                                       gvars.get("batch_stats", {}))
     print(f"Restore from step {step}")
-    variables = {"params": state.gen_params, "batch_stats": state.gen_stats}
     from blindshadowremoval_tpu.ops.calibration import calibrate_config
 
     cfg = calibrate_config(cfg, variables)
@@ -272,7 +292,7 @@ def _restore(cfg):
         from blindshadowremoval_tpu.models.folding import fold_batch_norm
 
         variables = fold_batch_norm(variables)
-    return trainer, state, variables, mgr, cfg
+    return variables, mgr, cfg
 
 
 def main(argv=None):
@@ -367,7 +387,7 @@ def main(argv=None):
     if args.cmd == "train":
         return run_train(cfg, args)
 
-    trainer, state, variables, _, cfg = _restore(cfg)
+    variables, _, cfg = _restore(cfg)
     from blindshadowremoval_tpu.eval.evaluators import (
         InTheWildEvaluator,
         SFWEvaluator,
@@ -497,7 +517,7 @@ def run_e2e(args):
     if args.fold_bn:
         overrides["fold_bn"] = True
     cfg = get_config("in_the_wild", **overrides)
-    _, _, variables, _, cfg = _restore(cfg)
+    variables, _, cfg = _restore(cfg)
 
     fan_vars = sfd_vars = None
     if args.fan_weights:

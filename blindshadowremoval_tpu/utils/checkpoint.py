@@ -94,6 +94,34 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def restore_eval(self, gen_params: Any, gen_stats: Any) -> tuple[Any, int]:
+        """Restore ONLY the generator sub-tree of the newest checkpoint.
+
+        Eval paths need gen params + batch stats, nothing else; a partial
+        restore skips the optimizer moments (2x the param bytes) AND is
+        robust to optimizer-state tree changes between the training run
+        and the eval process — e.g. a checkpoint trained with the LR-decay
+        schedule (whose optax state carries a schedule counter) evaluates
+        fine from a default-config process, where a full StandardRestore
+        would fail on the tree mismatch.
+
+        Returns ({'params': ..., 'batch_stats': ...}, step); the untouched
+        template variables and step 0 when nothing is saved yet."""
+        step = self._mgr.latest_step()
+        variables = {"params": gen_params, "batch_stats": gen_stats}
+        if step is None:
+            return variables, 0
+        item = {"gen_params": gen_params, "gen_stats": gen_stats}
+        restored = self._mgr.restore(
+            step,
+            args=ocp.args.PyTreeRestore(
+                item,
+                restore_args=ocp.checkpoint_utils.construct_restore_args(
+                    item),
+                partial_restore=True))
+        return {"params": restored["gen_params"],
+                "batch_stats": restored["gen_stats"]}, step
+
     def restore_latest(self, template: Any) -> tuple[Any, int]:
         """Restore the newest checkpoint into `template`'s structure.
 

@@ -41,3 +41,49 @@ def test_restore_best_empty(tmp_path):
     restored, step = mgr.restore_best(template)
     assert step == 0 and restored is template
     mgr.close()
+
+
+def test_restore_eval_is_partial_and_optimizer_agnostic(tmp_path):
+    """restore_eval pulls ONLY gen params+stats from a full TrainState
+    checkpoint — including one whose optimizer state tree differs from the
+    current process's (e.g. trained with the LR-decay schedule, whose
+    optax state carries a schedule counter a default config lacks)."""
+    import jax.numpy as jnp
+    import optax
+
+    from blindshadowremoval_tpu.train.trainer import TrainState
+
+    gen_params = {"conv": {"kernel": np.arange(6.0).reshape(2, 3)}}
+    # schedule-bearing optimizer: state tree has a ScaleByScheduleState
+    # counter that a constant-LR process's template would not
+    tx = optax.adam(optax.exponential_decay(1e-4, 10, 0.9, staircase=True))
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        gen_params=gen_params,
+        gen_stats={"bn": {"mean": np.ones(3)}},
+        disc_params={"d": np.zeros(2)},
+        disc_stats={},
+        vgg_params={"v": np.zeros(1)},
+        gen_opt_state=tx.init(gen_params),
+        disc_opt_state=optax.adam(1e-4).init({"d": np.zeros(2)}),
+    )
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(7, state, wait=True)
+    mgr.close()
+
+    mgr2 = CheckpointManager(str(tmp_path / "ckpt"))
+    variables, step = mgr2.restore_eval(
+        {"conv": {"kernel": np.zeros((2, 3))}},
+        {"bn": {"mean": np.zeros(3)}})
+    assert step == 7
+    np.testing.assert_array_equal(variables["params"]["conv"]["kernel"],
+                                  np.arange(6.0).reshape(2, 3))
+    np.testing.assert_array_equal(variables["batch_stats"]["bn"]["mean"],
+                                  np.ones(3))
+    mgr2.close()
+
+    # empty dir: the untouched template comes back at step 0
+    mgr3 = CheckpointManager(str(tmp_path / "empty"))
+    v0, s0 = mgr3.restore_eval({"w": np.zeros(2)}, {})
+    assert s0 == 0 and np.all(v0["params"]["w"] == 0)
+    mgr3.close()

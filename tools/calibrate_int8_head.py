@@ -54,8 +54,14 @@ def main():
     cfg = get_config(
         "ucb", data_dirs_test=(os.path.join(REF, "UCB", "train", "input", "*"),),
         eval_views=1, compute_dtype="float32", checkpoint_dir=args.ckpt)
-    trainer, state, variables, _, cfg = _restore(cfg)
-    gen = trainer.gen
+    variables, _, cfg = _restore(cfg)
+    import dataclasses
+
+    from blindshadowremoval_tpu.train.trainer import build_generator
+
+    # the live-BatchNorm f32-egress tree _restore's template used
+    gen = build_generator(dataclasses.replace(
+        cfg, fold_bn=False, egress_dtype="float32"))
     ds = Dataset(cfg, "test")
 
     @jax.jit

@@ -128,7 +128,7 @@ def main():
         data_dirs_test=(os.path.join(REF, "UCB", "train", "input", "*"),),
         checkpoint_dir=args.ckpt, compute_dtype="float32",
         fold_bn=False, egress_dtype="float32", int8_head=False)
-    _, _, raw_vars, _, _ = _restore(base)   # live-BN f32 tree
+    raw_vars, _, _ = _restore(base)         # live-BN f32 tree
 
     # load the eval batches ONCE; reuse across configurations
     ds_ucb = Dataset(base, "test")
