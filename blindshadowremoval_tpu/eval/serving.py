@@ -15,7 +15,7 @@ Usage:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -236,3 +236,124 @@ class ShadowRemovalService:
                     "img": v["img"],        # the cropped/aligned input
                 })
         return results
+
+
+class BatchingFrontend:
+    """Dynamic request batching over a ShadowRemovalService.
+
+    `remove_shadows` is a synchronous batch API; a live deployment gets
+    single-image requests at arbitrary times.  This frontend coalesces
+    them: `submit()` returns a Future immediately, and a collector thread
+    assembles device batches up to `max_batch` (default: the service's
+    warm batch size, so no padding waste) or until `max_delay_ms` has
+    passed since the batch opened — the classic throughput/latency knob.
+    One collector thread dispatches device calls, so requests serialize on
+    the accelerator in arrival order and the service object needs no
+    internal locking.
+
+    The reference has no serving story at all (its eval loops are
+    per-image eager scripts); this is the deployment-shaped surface over
+    the same engine the `infer --engine serving` CLI uses.
+    """
+
+    def __init__(self, service: ShadowRemovalService,
+                 max_batch: Optional[int] = None,
+                 max_delay_ms: float = 5.0):
+        import queue as _queue
+        import threading
+
+        self._service = service
+        self._max_batch = int(max_batch or service.batch_size)
+        if self._max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
+        self._max_delay = float(max_delay_ms) / 1000.0
+        self._q: Any = _queue.Queue()
+        self._queue_mod = _queue
+        self._closed = threading.Event()
+        self.batches_dispatched = 0
+        self.requests_served = 0
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="bsr-serving-batcher")
+        self._thread.start()
+
+    # ------------------------------------------------------------ client
+    def submit(self, image: np.ndarray, landmarks: np.ndarray):
+        """Enqueue one request; returns a concurrent.futures.Future whose
+        result is the service's per-image dict ({'pred', 'mask_pred',
+        'box', 'img'})."""
+        from concurrent.futures import Future
+
+        if self._closed.is_set():
+            raise RuntimeError("BatchingFrontend is closed")
+        fut: Any = Future()
+        self._q.put((image, landmarks, fut))
+        return fut
+
+    def close(self, flush: bool = True) -> None:
+        """Stop the collector.  `flush=True` (default) serves everything
+        already queued first; otherwise pending futures are cancelled."""
+        if self._closed.is_set():
+            return
+        if not flush:
+            # drain-and-cancel before signalling, so the collector cannot
+            # pick the items up concurrently
+            try:
+                while True:
+                    _, _, fut = self._q.get_nowait()
+                    fut.cancel()
+            except self._queue_mod.Empty:
+                pass
+        self._closed.set()
+        self._thread.join(timeout=60.0)
+        # anything still queued after the collector exited (flush=False
+        # race, or a hung join): cancel rather than leave waiters hanging
+        try:
+            while True:
+                _, _, fut = self._q.get_nowait()
+                fut.cancel()
+        except self._queue_mod.Empty:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # --------------------------------------------------------- collector
+    def _loop(self) -> None:
+        import time as _time
+
+        while True:
+            try:
+                first = self._q.get(timeout=0.05)
+            except self._queue_mod.Empty:
+                if self._closed.is_set():
+                    return
+                continue
+            batch = [first]
+            deadline = _time.monotonic() + self._max_delay
+            while len(batch) < self._max_batch:
+                remaining = deadline - _time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=remaining))
+                except self._queue_mod.Empty:
+                    break
+            imgs, lms, futs = zip(*batch)
+            live = [i for i, f in enumerate(futs)
+                    if f.set_running_or_notify_cancel()]
+            if not live:
+                continue
+            try:
+                results = self._service.remove_shadows(
+                    [imgs[i] for i in live], [lms[i] for i in live])
+            except BaseException as e:       # surface on every waiter
+                for i in live:
+                    futs[i].set_exception(e)
+                continue
+            self.batches_dispatched += 1
+            self.requests_served += len(live)
+            for i, r in zip(live, results):
+                futs[i].set_result(r)
