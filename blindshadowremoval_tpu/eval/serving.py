@@ -188,6 +188,61 @@ class ShadowRemovalService:
             "box": box,
         }
 
+    def stage(self, chunk: Sequence[dict]) -> tuple:
+        """Stack + upload one chunk of preprocessed views (<= batch_size,
+        tail-padded to the warm shape).  Returns the device-resident
+        forward operands; `forward_staged` completes the batch.  Split out
+        so callers (BatchingFrontend) can overlap batch i+1's host
+        stack/upload with batch i's device wait — `_fwd` dispatches
+        asynchronously, so the two halves pipeline across threads."""
+        n = len(chunk)
+        bs = self.batch_size
+        if n > bs:
+            raise ValueError(f"chunk of {n} exceeds batch_size {bs}")
+
+        def stack(key, fill=0.0):
+            arr = np.stack([v[key] for v in chunk])
+            if self._compact_in and key in ("img", "uv"):
+                # [0,1] fixed-point wire format (dequantized in-graph)
+                arr = np.rint(np.clip(arr, 0.0, 1.0)
+                              * 65535.0).astype(np.uint16)
+            elif not np.issubdtype(arr.dtype, np.integer):
+                arr = arr.astype(np.float32)
+            if n < bs:   # pad the tail batch to the warm shape
+                pad = np.full((bs - n,) + arr.shape[1:], fill, arr.dtype)
+                arr = np.concatenate([arr, pad])
+            return self._put(arr)
+
+        if self._devgeo:
+            return (stack("img"), stack("lm"), stack("face_pts"),
+                    stack("uv_tris", -1), stack("face_tris", -1),
+                    stack("reg_tris", -1))
+        return (stack("img"), stack("uv"), stack("reg"))
+
+    def forward_staged(self, staged: tuple,
+                       chunk: Sequence[dict]) -> list[dict]:
+        """Run the warm forward on `stage()`'s product and unpack the
+        per-view result dicts (the device->host fetch happens here)."""
+        n = len(chunk)
+        rgb, dif = self._fwd(self.variables, *staged)
+        rgb = np.asarray(rgb)[:n]
+        dif = np.asarray(dif)[:n]
+        if self._compact:
+            rgb = rgb.astype(np.float32) / 255.0
+            dif = dif.astype(np.float32)
+        results: list[dict] = []
+        for i, v in enumerate(chunk):
+            results.append({
+                # device_geometry gates mask_pred by the face map
+                # on device; the host path multiplies here
+                "pred": rgb[i],
+                "mask_pred": (dif[i] if self._devgeo
+                              else dif[i] * v["face"]),
+                "box": v["box"],
+                "img": v["img"],        # the cropped/aligned input
+            })
+        return results
+
     def remove_shadows(self, images: Sequence[np.ndarray],
                        landmarks: Sequence[np.ndarray]) -> list[dict]:
         """Batched end-to-end: N (image, 68x2 landmark) pairs ->
@@ -197,44 +252,7 @@ class ShadowRemovalService:
         bs = self.batch_size
         for start in range(0, len(views), bs):
             chunk = views[start:start + bs]
-            n = len(chunk)
-
-            def stack(key, fill=0.0):
-                arr = np.stack([v[key] for v in chunk])
-                if self._compact_in and key in ("img", "uv"):
-                    # [0,1] fixed-point wire format (dequantized in-graph)
-                    arr = np.rint(np.clip(arr, 0.0, 1.0)
-                                  * 65535.0).astype(np.uint16)
-                elif not np.issubdtype(arr.dtype, np.integer):
-                    arr = arr.astype(np.float32)
-                if n < bs:   # pad the tail batch to the warm shape
-                    pad = np.full((bs - n,) + arr.shape[1:], fill, arr.dtype)
-                    arr = np.concatenate([arr, pad])
-                return self._put(arr)
-
-            if self._devgeo:
-                rgb, dif = self._fwd(
-                    self.variables, stack("img"), stack("lm"),
-                    stack("face_pts"), stack("uv_tris", -1),
-                    stack("face_tris", -1), stack("reg_tris", -1))
-            else:
-                rgb, dif = self._fwd(self.variables, stack("img"),
-                                     stack("uv"), stack("reg"))
-            rgb = np.asarray(rgb)[:n]
-            dif = np.asarray(dif)[:n]
-            if self._compact:
-                rgb = rgb.astype(np.float32) / 255.0
-                dif = dif.astype(np.float32)
-            for i, v in enumerate(chunk):
-                results.append({
-                    # device_geometry gates mask_pred by the face map
-                    # on device; the host path multiplies here
-                    "pred": rgb[i],
-                    "mask_pred": (dif[i] if self._devgeo
-                                  else dif[i] * v["face"]),
-                    "box": v["box"],
-                    "img": v["img"],        # the cropped/aligned input
-                })
+            results.extend(self.forward_staged(self.stage(chunk), chunk))
         return results
 
 
@@ -272,9 +290,17 @@ class BatchingFrontend:
         self._closed = threading.Event()
         self.batches_dispatched = 0
         self.requests_served = 0
+        # depth-1 pipeline: the collector preprocesses + stages (host
+        # stack + upload) batch i+1 while the dispatcher waits on batch
+        # i's device fetch — stage/forward are the service's split halves
+        self._dispatch_q: Any = _queue.Queue(maxsize=1)
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="bsr-serving-batcher")
+        self._dispatcher = threading.Thread(target=self._dispatch_loop,
+                                            daemon=True,
+                                            name="bsr-serving-dispatch")
         self._thread.start()
+        self._dispatcher.start()
 
     # ------------------------------------------------------------ client
     def submit(self, image: np.ndarray, landmarks: np.ndarray):
@@ -305,6 +331,7 @@ class BatchingFrontend:
                 pass
         self._closed.set()
         self._thread.join(timeout=60.0)
+        self._dispatcher.join(timeout=60.0)
         # anything still queued after the collector exited (flush=False
         # race, or a hung join): cancel rather than leave waiters hanging
         try:
@@ -324,36 +351,65 @@ class BatchingFrontend:
     def _loop(self) -> None:
         import time as _time
 
-        while True:
-            try:
-                first = self._q.get(timeout=0.05)
-            except self._queue_mod.Empty:
-                if self._closed.is_set():
-                    return
-                continue
-            batch = [first]
-            deadline = _time.monotonic() + self._max_delay
-            while len(batch) < self._max_batch:
-                remaining = deadline - _time.monotonic()
-                if remaining <= 0:
-                    break
+        svc = self._service
+        try:
+            while True:
                 try:
-                    batch.append(self._q.get(timeout=remaining))
+                    first = self._q.get(timeout=0.05)
                 except self._queue_mod.Empty:
-                    break
-            imgs, lms, futs = zip(*batch)
-            live = [i for i, f in enumerate(futs)
-                    if f.set_running_or_notify_cancel()]
-            if not live:
-                continue
-            try:
-                results = self._service.remove_shadows(
-                    [imgs[i] for i in live], [lms[i] for i in live])
-            except BaseException as e:       # surface on every waiter
+                    if self._closed.is_set():
+                        return
+                    continue
+                batch = [first]
+                deadline = _time.monotonic() + self._max_delay
+                while len(batch) < self._max_batch:
+                    remaining = deadline - _time.monotonic()
+                    if remaining <= 0:
+                        break
+                    try:
+                        batch.append(self._q.get(timeout=remaining))
+                    except self._queue_mod.Empty:
+                        break
+                imgs, lms, futs = zip(*batch)
+                live = [i for i, f in enumerate(futs)
+                        if f.set_running_or_notify_cancel()]
+                # preprocess per request so one bad input fails ONLY its
+                # own future, not every batchmate's
+                views, ok = [], []
                 for i in live:
-                    futs[i].set_exception(e)
+                    try:
+                        views.append(svc.preprocess(imgs[i], lms[i]))
+                        ok.append(i)
+                    except BaseException as e:
+                        futs[i].set_exception(e)
+                bs = svc.batch_size
+                for s in range(0, len(ok), bs):
+                    sub = ok[s:s + bs]
+                    vchunk = views[s:s + bs]
+                    sub_futs = [futs[i] for i in sub]
+                    try:
+                        staged = svc.stage(vchunk)
+                    except BaseException as e:
+                        for f in sub_futs:
+                            f.set_exception(e)
+                        continue
+                    self._dispatch_q.put((staged, vchunk, sub_futs))
+        finally:
+            self._dispatch_q.put(None)       # dispatcher shutdown sentinel
+
+    def _dispatch_loop(self) -> None:
+        while True:
+            item = self._dispatch_q.get()
+            if item is None:
+                return
+            staged, vchunk, futs = item
+            try:
+                results = self._service.forward_staged(staged, vchunk)
+            except BaseException as e:       # surface on every waiter
+                for f in futs:
+                    f.set_exception(e)
                 continue
             self.batches_dispatched += 1
-            self.requests_served += len(live)
-            for i, r in zip(live, results):
-                futs[i].set_result(r)
+            self.requests_served += len(futs)
+            for f, r in zip(futs, results):
+                f.set_result(r)

@@ -14,25 +14,39 @@ from blindshadowremoval_tpu.eval.serving import BatchingFrontend
 
 
 class _StubService:
-    """Records per-call batch sizes; returns one dict per request."""
+    """Implements the frontend's service protocol (preprocess / stage /
+    forward_staged); records per-forward batch sizes."""
 
     batch_size = 4
 
-    def __init__(self, delay: float = 0.0, fail: bool = False):
+    def __init__(self, delay: float = 0.0, fail: bool = False,
+                 preprocess_fail_on: int = -1):
         self.calls = []
         self.delay = delay
         self.fail = fail
-        self.gate = threading.Event()   # set() to let calls proceed
+        self.preprocess_fail_on = preprocess_fail_on
+        self._preprocessed = 0
+        self.gate = threading.Event()   # set() to let forwards proceed
         self.gate.set()
 
-    def remove_shadows(self, images, landmarks):
+    def preprocess(self, image, landmarks):
+        i = self._preprocessed
+        self._preprocessed += 1
+        if i == self.preprocess_fail_on:
+            raise ValueError(f"bad request {i}")
+        return {"img": image, "idx": i}
+
+    def stage(self, chunk):
+        return tuple(v["idx"] for v in chunk)
+
+    def forward_staged(self, staged, chunk):
         self.gate.wait(timeout=2.0)
         if self.fail:
             raise RuntimeError("device fell over")
         if self.delay:
             time.sleep(self.delay)
-        self.calls.append(len(images))
-        return [{"pred": np.float32(i)} for i in range(len(images))]
+        self.calls.append(len(chunk))
+        return [{"pred": np.float32(i)} for i in staged]
 
 
 def _img():
@@ -88,10 +102,13 @@ def test_close_flush_serves_queued_then_rejects():
 
 def test_close_noflush_cancels_pending():
     svc = _StubService()
-    svc.gate.clear()                    # wedge the collector's dispatch
+    svc.gate.clear()                    # wedge the dispatcher's forward
     fe = BatchingFrontend(svc, max_delay_ms=5.0)
-    futs = [fe.submit(*_img()) for _ in range(6)]
-    time.sleep(0.1)                     # let the collector take a batch
+    # fill the whole depth-1 pipeline (forward 4 + staged slot 4 + a
+    # batch held by the blocked collector 4) and leave more in the
+    # submit queue — those are the cancellable ones
+    futs = [fe.submit(*_img()) for _ in range(20)]
+    time.sleep(0.4)                     # let the pipeline back up
     fe.close(flush=False)
     svc.gate.set()
     done = sum(1 for f in futs if f.cancelled())
@@ -105,3 +122,19 @@ def test_context_manager():
         assert "pred" in fe.submit(*_img()).result(timeout=10.0)
     with pytest.raises(RuntimeError):
         fe.submit(*_img())
+
+
+def test_bad_request_fails_only_its_own_future():
+    """A preprocess failure (malformed input) poisons ONLY that request;
+    batchmates still get results."""
+    svc = _StubService(preprocess_fail_on=1)
+    svc.gate.clear()
+    fe = BatchingFrontend(svc, max_delay_ms=250.0)
+    futs = [fe.submit(*_img()) for _ in range(4)]
+    svc.gate.set()
+    with pytest.raises(ValueError, match="bad request 1"):
+        futs[1].result(timeout=10.0)
+    for i in (0, 2, 3):
+        assert "pred" in futs[i].result(timeout=10.0)
+    fe.close()
+    assert svc.calls == [3]             # the 3 survivors, one batch
