@@ -249,13 +249,9 @@ def build_parser():
 
 
 def _restore(cfg):
-    import contextlib
     import dataclasses
 
-    import jax
-    import numpy as np
-
-    from blindshadowremoval_tpu.train.trainer import build_generator
+    from blindshadowremoval_tpu.train.trainer import init_generator_vars
     from blindshadowremoval_tpu.utils.checkpoint import CheckpointManager
 
     # eval needs ONLY the generator sub-tree: init it (host CPU, cheap —
@@ -266,21 +262,7 @@ def _restore(cfg):
     # The template always uses the live-BatchNorm f32-egress tree; the
     # serving flags below transform cfg/variables for the eval paths only.
     base = dataclasses.replace(cfg, fold_bn=False, egress_dtype="float32")
-    gen = build_generator(base)
-    try:
-        _ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
-    except RuntimeError:                   # no CPU backend registered
-        _ctx = contextlib.nullcontext()
-    s = base.img_size
-    b2 = base.batch_size * 2
-    zi = jax.numpy.zeros((b2, s, s, 3), jax.numpy.float32)
-    zr = jax.numpy.zeros((b2, s, s, 6), jax.numpy.float32)
-    with _ctx:
-        if base.variant == "tsm":
-            gvars = gen.init(jax.random.PRNGKey(0), zi, zi, zr, frame=2)
-        else:
-            gvars = gen.init(jax.random.PRNGKey(0), zi, zi, zr)
-    gvars = jax.tree.map(np.asarray, gvars)   # placement-neutral leaves
+    _, gvars = init_generator_vars(base)
     mgr = CheckpointManager(cfg.checkpoint_dir)
     variables, step = mgr.restore_eval(gvars["params"],
                                        gvars.get("batch_stats", {}))

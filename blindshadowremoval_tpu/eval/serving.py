@@ -288,6 +288,12 @@ class BatchingFrontend:
         self._q: Any = _queue.Queue()
         self._queue_mod = _queue
         self._closed = threading.Event()
+        # serializes the closed-check+enqueue pair in submit() against
+        # close() setting the flag: without it a submit could pass the
+        # check, lose the CPU while close() runs to completion (including
+        # its final drain), then enqueue into the dead queue — leaving its
+        # Future pending forever
+        self._submit_lock = threading.Lock()
         self.batches_dispatched = 0
         self.requests_served = 0
         # depth-1 pipeline: the collector preprocesses + stages (host
@@ -309,10 +315,11 @@ class BatchingFrontend:
         'box', 'img'})."""
         from concurrent.futures import Future
 
-        if self._closed.is_set():
-            raise RuntimeError("BatchingFrontend is closed")
-        fut: Any = Future()
-        self._q.put((image, landmarks, fut))
+        with self._submit_lock:
+            if self._closed.is_set():
+                raise RuntimeError("BatchingFrontend is closed")
+            fut: Any = Future()
+            self._q.put((image, landmarks, fut))
         return fut
 
     def close(self, flush: bool = True) -> None:
@@ -322,14 +329,17 @@ class BatchingFrontend:
             return
         if not flush:
             # drain-and-cancel before signalling, so the collector cannot
-            # pick the items up concurrently
+            # pick the items up concurrently (in-flight submits serialize
+            # against the flag via _submit_lock, so nothing lands after
+            # the flag is up)
             try:
                 while True:
                     _, _, fut = self._q.get_nowait()
                     fut.cancel()
             except self._queue_mod.Empty:
                 pass
-        self._closed.set()
+        with self._submit_lock:      # no submit can straddle the flag
+            self._closed.set()
         self._thread.join(timeout=60.0)
         self._dispatcher.join(timeout=60.0)
         # anything still queued after the collector exited (flush=False

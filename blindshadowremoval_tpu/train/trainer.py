@@ -91,6 +91,40 @@ def build_generator(config: Config, axis_name: Optional[str] = None):
                         egress_dtype=egress)
 
 
+def init_generator_vars(config: Config, seed: int = 0) -> tuple:
+    """(generator module, host-numpy init variables) for `config`.
+
+    Everything — dummy-input creation included — runs under a host-CPU
+    default device: eager Flax init on a (remote-)attached accelerator
+    dispatches hundreds of small RPCs (the init_state docstring's
+    measured ~4 min), and threefry is backend-deterministic so CPU init
+    is bit-identical.  Leaves come back as numpy so they are
+    placement-neutral as checkpoint-restore templates (CPU-committed
+    jax.Arrays would pin downstream jits to the CPU backend).
+
+    The shared template path for every generator-only consumer: the CLI's
+    eval restore, serving benches, tools."""
+    import contextlib
+
+    import numpy as np
+
+    gen = build_generator(config)
+    try:
+        _ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
+    except RuntimeError:                   # no CPU backend registered
+        _ctx = contextlib.nullcontext()
+    s = config.img_size
+    b2 = config.batch_size * 2
+    with _ctx:
+        zi = jnp.zeros((b2, s, s, 3), jnp.float32)
+        zr = jnp.zeros((b2, s, s, 6), jnp.float32)
+        if config.variant == "tsm":
+            gvars = gen.init(jax.random.PRNGKey(seed), zi, zi, zr, frame=2)
+        else:
+            gvars = gen.init(jax.random.PRNGKey(seed), zi, zi, zr)
+    return gen, jax.tree.map(np.asarray, gvars)
+
+
 @dataclasses.dataclass(eq=False)   # identity hash: instance is a static jit arg
 class Trainer:
     """Owns model definitions, optimizers, and the jitted step.

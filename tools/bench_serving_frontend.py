@@ -32,12 +32,11 @@ def main() -> None:
     args = ap.parse_args()
 
     import cv2
-    import jax
 
     from blindshadowremoval_tpu.config import get_config
     from blindshadowremoval_tpu.eval.serving import (
         BatchingFrontend, ShadowRemovalService)
-    from blindshadowremoval_tpu.train.trainer import build_generator
+    from blindshadowremoval_tpu.train.trainer import init_generator_vars
     from blindshadowremoval_tpu.utils.compilecache import (
         enable_persistent_cache)
 
@@ -48,9 +47,7 @@ def main() -> None:
         cv2.COLOR_BGR2RGB) / 255.0
     lm = np.load(os.path.join(REF, "sample_imgs", "02165", "02165.npy"))
 
-    gen = build_generator(cfg)
-    z3 = np.zeros((1, cfg.img_size, cfg.img_size, 3), np.float32)
-    variables = gen.init(jax.random.PRNGKey(0), z3, z3, None)
+    _, variables = init_generator_vars(cfg)
     svc = ShadowRemovalService(cfg, variables, batch_size=args.batch_size,
                                compact_output=True, compact_ingress=True)
 
